@@ -1,0 +1,74 @@
+"""Deterministic uuid5 identity — the reference's reproducibility backbone.
+
+Parity targets (citations into /root/reference):
+ - entity uuid = uuid5(uuid5(NAMESPACE_DNS, f"graphiti.entity.{group_id}"),
+                       normalize_entity_name(name))
+   (graphiti_core/utils/uuid_utils.py:282-306, applied at
+    node_operations.py:331)
+ - edge uuid   = uuid5(uuid5(NAMESPACE_DNS, f"graphiti.edge.{group_id}"),
+                       f"{source_uuid}|{target_uuid}|{NAME_UPPER}")
+   (uuid_utils.py:309-334)
+ - episode uuid: the reference uses random uuid4 for episodes; our batch DAG
+   needs determinism, so episode uuid = uuid5(episode namespace, url) — the
+   url is the natural primary key per FIXTURES.md §1.
+
+uuid5 is pure Python stdlib and deterministic across executors, so these are
+Arrow-batched pandas UDFs (vectorized batch transfer; python loop only over
+the in-batch rows — no viable JVM-side uuid5 expression exists).
+"""
+
+from __future__ import annotations
+
+import uuid
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from graphiti_spark.functions.normalize import normalize_entity_name_py
+
+
+@lru_cache(maxsize=4096)
+def _entity_ns(group_id: str) -> uuid.UUID:
+    return uuid.uuid5(uuid.NAMESPACE_DNS, f"graphiti.entity.{group_id}")
+
+
+@lru_cache(maxsize=4096)
+def _edge_ns(group_id: str) -> uuid.UUID:
+    return uuid.uuid5(uuid.NAMESPACE_DNS, f"graphiti.edge.{group_id}")
+
+
+@lru_cache(maxsize=16)
+def _episode_ns(kind: str = "episode") -> uuid.UUID:
+    return uuid.uuid5(uuid.NAMESPACE_DNS, f"graphiti.{kind}")
+
+
+def entity_uuid_py(name: str, group_id: str) -> str:
+    """uuid_utils.py:282-306 parity."""
+    return str(uuid.uuid5(_entity_ns(group_id), normalize_entity_name_py(name)))
+
+
+def edge_uuid_py(source_uuid: str, target_uuid: str, name: str, group_id: str) -> str:
+    """uuid_utils.py:309-334 parity (predicate upper-cased in the key)."""
+    return str(uuid.uuid5(_edge_ns(group_id), f"{source_uuid}|{target_uuid}|{name.upper()}"))
+
+
+def episode_uuid_py(url: str) -> str:
+    return str(uuid.uuid5(_episode_ns(), url))
+
+
+@F.pandas_udf(StringType())
+def entity_uuid_udf(name: pd.Series, group_id: pd.Series) -> pd.Series:
+    return pd.Series([entity_uuid_py(n, g) for n, g in zip(name, group_id)])
+
+
+@F.pandas_udf(StringType())
+def edge_uuid_udf(src: pd.Series, dst: pd.Series, name: pd.Series, group_id: pd.Series) -> pd.Series:
+    return pd.Series([edge_uuid_py(s, d, n, g) for s, d, n, g in zip(src, dst, name, group_id)])
+
+
+@F.pandas_udf(StringType())
+def episode_uuid_udf(url: pd.Series) -> pd.Series:
+    ns = _episode_ns()
+    return pd.Series([str(uuid.uuid5(ns, u)) for u in url])
