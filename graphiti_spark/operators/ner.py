@@ -1,0 +1,177 @@
+"""S3 — vectorized deterministic NER: episode text -> entity mentions.
+
+Replaces the reference's LLM extraction (``extract_nodes``,
+/root/reference/graphiti_core/utils/maintenance/node_operations.py:234-342)
+with a rule-based recognizer honoring the same output contract
+(prompts/extract_nodes.py:92-109):
+ - entity names, no relationship/action entities, no date/time entities,
+ - empty names filtered,
+ - deterministic entity uuid assigned from (normalized name, group_id),
+ - labels = ['Entity'].
+
+Recognizer: maximal runs of capitalized tokens, allowing lowercase connector
+words (of/the/for/and/de/van/von) strictly *inside* a run. Sentence-initial
+common words are dropped. Pure function of the text -> stable across runs.
+The reflexion re-prompt loop (node_operations.py:213-231) is unnecessary:
+deterministic extraction has nothing to "miss" on retry.
+
+Execution shape: one Arrow-batched pandas UDF producing
+array<struct<name,start_pos,end_pos>> + a JVM-side explode. Shuffle-free.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+
+from graphiti_spark.functions.ids import entity_uuid_udf
+from graphiti_spark.functions.normalize import normalize_entity_name_col
+
+# Tokens that may appear capitalized at sentence start but are not entities.
+_COMMON_WORDS = frozenset(
+    """the a an it he she they this that these those we you i his her its their
+    our your my there here when where what who how why and but or nor so yet
+    after before during since until while because although if then also now
+    today yesterday tomorrow meanwhile however moreover later earlier once
+    on in at by for with from to of as is are was were be been being has have
+    had do does did will would can could may might must shall should not no
+    yes all any both each few more most other some such only own same very
+    one two three four five six seven eight nine ten many several
+    new old first last next previous according""".split()
+)
+
+# Date/time words — excluded per prompts/extract_nodes.py:107-109.
+_DATE_WORDS = frozenset(
+    """january february march april may june july august september october
+    november december monday tuesday wednesday thursday friday saturday
+    sunday spring summer autumn winter fall""".split()
+)
+
+# Lowercase words allowed INSIDE a multi-token entity ("University of Toronto").
+_CONNECTORS = frozenset("of the for and de la van von der al el".split())
+
+_CAP_TOKEN = re.compile(r"^[A-Z][A-Za-z0-9'’.&-]*$")
+_WORD_RE = re.compile(r"[A-Za-z0-9'’.&-]+")
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+
+def split_sentences(text: str) -> list[tuple[int, str]]:
+    """(offset, sentence) pairs; deterministic regex splitter."""
+    out = []
+    pos = 0
+    for sent in _SENT_SPLIT.split(text):
+        idx = text.find(sent, pos)
+        if idx < 0:
+            idx = pos
+        out.append((idx, sent))
+        pos = idx + len(sent)
+    return out
+
+
+def _is_entity_token(tok: str) -> bool:
+    if not _CAP_TOKEN.match(tok):
+        return False
+    low = tok.lower().rstrip(".")
+    if low in _DATE_WORDS:
+        return False
+    if tok.isdigit():
+        return False
+    return True
+
+
+def extract_mentions_py(text: str) -> list[tuple[str, int, int]]:
+    """(name, start, end) mentions. Pure deterministic function of text."""
+    mentions: list[tuple[str, int, int]] = []
+    if not text:
+        return mentions
+    for sent_off, sent in split_sentences(text):
+        words = [(m.group(0), m.start()) for m in _WORD_RE.finditer(sent)]
+        i = 0
+        while i < len(words):
+            tok, off = words[i]
+            if _is_entity_token(tok):
+                run = [(tok, off)]
+                j = i + 1
+                pending: list[tuple[str, int]] = []
+                while j < len(words):
+                    nxt, noff = words[j]
+                    if _is_entity_token(nxt):
+                        run.extend(pending)
+                        run.append((nxt, noff))
+                        pending = []
+                        j += 1
+                    elif nxt.lower() in _CONNECTORS and not pending and len(run) >= 1:
+                        pending = [(nxt, noff)]
+                        j += 1
+                    else:
+                        break
+                i = j if not pending else j - len(pending)
+                # Sentence-initial single common word is not an entity.
+                first_tok, first_off = run[0]
+                if len(run) == 1 and first_off == 0 and first_tok.lower() in _COMMON_WORDS:
+                    continue
+                if len(run) == 1 and first_tok.lower() in _COMMON_WORDS:
+                    continue
+                name = sent[run[0][1] : run[-1][1] + len(run[-1][0])]
+                name = name.rstrip(".")
+                if name:
+                    start = sent_off + run[0][1]
+                    mentions.append((name, start, start + len(name)))
+            else:
+                i += 1
+    return mentions
+
+
+_MENTION_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("name", StringType()),
+            StructField("start_pos", IntegerType()),
+            StructField("end_pos", IntegerType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_MENTION_SCHEMA)
+def extract_mentions_udf(text: pd.Series) -> pd.Series:
+    return pd.Series([extract_mentions_py(t if t is not None else "") for t in text])
+
+
+def mentions_stage(episodes: DataFrame) -> DataFrame:
+    """episodes -> mentions DF
+    (episode_uuid, group_id, name, name_norm, entity_uuid, start_pos, end_pos,
+     valid_at, created_at).
+
+    Within-episode exact dedup (resolve_extracted_nodes tier 1,
+    node_operations.py:364-381) falls out of dropDuplicates on
+    (episode_uuid, entity_uuid); cross-episode exact dedup is free because the
+    uuid is a pure function of (normalized name, group_id).
+    """
+    exploded = (
+        episodes.select(
+            F.col("uuid").alias("episode_uuid"),
+            "group_id",
+            "valid_at",
+            "created_at",
+            F.explode(extract_mentions_udf(F.col("content"))).alias("m"),
+        )
+        .select(
+            "episode_uuid",
+            "group_id",
+            "valid_at",
+            "created_at",
+            F.col("m.name").alias("name"),
+            F.col("m.start_pos").alias("start_pos"),
+            F.col("m.end_pos").alias("end_pos"),
+        )
+        .filter(F.col("name") != "")
+    )
+    exploded = exploded.withColumn("name_norm", normalize_entity_name_col("name")).filter(
+        F.col("name_norm") != ""
+    )
+    return exploded.withColumn("entity_uuid", entity_uuid_udf("name", "group_id"))

