@@ -1,0 +1,261 @@
+"""Corpus-scale document deduplication: exact, fingerprint, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine.
+
+These are the training-data-pipeline counterparts of the entity-level ER in
+operators/er.py — same blocking-then-verify shape, applied to whole
+documents. The reference's analog is its non-LLM dedup tier
+(/root/reference/graphiti_core/utils/bulk_utils.py:266-357 word-overlap/
+cosine candidates; maintenance_dedupe_entities.py:41-253 thresholds).
+
+Scale design (100 TB):
+ - every exact/sketch method is a map (pure column exprs, codegen) + ONE
+   groupBy/self-join shuffle on a short key (hash, band bucket, shingle),
+ - LSH band buckets and shingle blocks are frequency-capped before the
+   self-join: a bucket with B members fans out O(B^2) pairs, so hot buckets
+   (boilerplate-heavy near-identical pages) are the skew to defuse,
+ - verification (exact Jaccard / cosine) runs only on surviving pairs.
+
+Every function returns a DataFrame and has an exact DuckDB SQL twin used by
+the correctness oracle (functions/hashing.py builds cross-engine md5-derived
+hashes for this reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions.hashing import md5_long_col, minhash_cols, simhash_col
+from graphiti_spark.functions.textstats import tokens_col
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by md5(text): (content_md5, canonical_id =
+    min id, dup_count). The in-batch uuid dedup of the reference
+    (bulk_utils.py:181-213) at document granularity."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def fingerprint_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Near-head/tail fingerprint groups (functions/textstats.fingerprint_col):
+    md5 over first-k + last-k tokens — catches boilerplate-wrapped copies
+    whose middles differ. Same one-shuffle groupBy shape as exact_dedup."""
+    from graphiti_spark.functions.textstats import fingerprint_col
+
+    return (
+        docs.select(F.col(id_col), fingerprint_col(F.col(text_col), k).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 8
+) -> DataFrame:
+    """Per-document MinHash signature over word tokens (map-only, no shuffle)."""
+    return docs.select(
+        F.col(id_col), *minhash_cols(tokens_col(text_col), num_hashes)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    jaccard_threshold: float = 0.7,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact-Jaccard verify.
+
+    Bands of r=1 (one signature per band): candidate recall 1-(1-J)^b;
+    precision restored by the exact token-Jaccard verification. Returns
+    (id_a, id_b, jaccard) with id_a < id_b. Bucket frequency cap bounds
+    worst-case fan-out under skew (boilerplate pages hashing identically).
+    """
+    sigs = docs.select(
+        F.col(id_col).alias("_id"),
+        tokens_col(text_col).alias("_toks"),
+        *minhash_cols(tokens_col(text_col), num_hashes),
+    )
+    bands = None
+    for i in range(num_hashes):
+        b = sigs.select(
+            "_id", F.lit(i).alias("band"), F.col(f"mh{i}").alias("band_hash")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("n"))
+    bands = bands.join(
+        sizes.filter(F.col("n") <= bucket_cap).select("band", "band_hash"),
+        ["band", "band_hash"],
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_hash"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    toks = sigs.select("_id", F.array_distinct("_toks").alias("_tokset"))
+    j = (
+        cand.join(toks.select(F.col("_id").alias("id_a"), F.col("_tokset").alias("toks_a")), "id_a")
+        .join(toks.select(F.col("_id").alias("id_b"), F.col("_tokset").alias("toks_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    j = j.withColumn(
+        "jaccard", F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    )
+    return j.filter(F.col("jaccard") >= jaccard_threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash (map-only). Near-dups = small Hamming distance;
+    at scale, group by bit-slices (4x8-bit keys) and compare within buckets."""
+    return docs.select(F.col(id_col), simhash_col(tokens_col(text_col), bits).alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    slices: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: slice the fingerprint into `slices` bands
+    (pigeonhole: hamming <= slices-1 guarantees one identical slice; with
+    max_hamming < slices recall is exact), block on (slice_idx, slice_val),
+    verify exact Hamming distance via xor bit_count."""
+    fp = simhash_fingerprints(docs, id_col, text_col, bits).withColumnRenamed(id_col, "_id")
+    width = bits // slices
+    mask = (1 << width) - 1
+    sliced = None
+    for s in range(slices):
+        part = fp.select(
+            "_id",
+            "simhash",
+            F.lit(s).alias("slice_idx"),
+            F.shiftright("simhash", s * width).bitwiseAND(F.lit(mask)).alias("slice_val"),
+        )
+        sliced = part if sliced is None else sliced.unionByName(part)
+    cand = (
+        sliced.alias("a")
+        .join(sliced.alias("b"), ["slice_idx", "slice_val"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+    block_df_cap: int = 200,
+) -> DataFrame:
+    """Word n-gram shingle Jaccard near-dup pairs with shared-shingle blocking.
+
+    Blocking is EXACT for threshold > 0 (J > 0 implies >=1 shared shingle),
+    unlike LSH — this is the reference's word-overlap candidate rule
+    (bulk_utils.py:290-308) lifted to documents. Shingles above the df cap
+    are dropped from blocking only (not from verification), bounding fan-out.
+    """
+    toks = docs.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks"))
+    sh = toks.withColumn(
+        "_shingles",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+            )
+        ),
+    ).select("_id", "_shingles")
+    ex = sh.select("_id", F.explode("_shingles").alias("shingle"))
+    df_cap = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ex = ex.join(df_cap.filter(F.col("df") <= block_df_cap).select("shingle"), "shingle")
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), "shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    j = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    j = j.withColumn(
+        "jaccard", F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_probe_dims: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold) with sign-LSH blocking.
+
+    Block key = sign pattern of the first n_probe_dims components (a
+    random-hyperplane LSH with axis-aligned planes — deterministic, and
+    SQL-twin-able). For threshold >= 0.95 the sign pattern of near-identical
+    vectors matches on all-but-noise dims, so candidates recall ~1; the
+    brute-force variant in simsearch.py is the exactness baseline.
+    """
+    from graphiti_spark.functions.embeddings import cosine_col
+
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col(vec_col), i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(n_probe_dims)
+        ],
+    )
+    e = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig"))
+    cand = (
+        e.alias("a")
+        .join(e.alias("b"), "_sig")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("va"),
+            F.col("b._v").alias("vb"),
+        )
+    )
+    out = cand.withColumn("cosine", cosine_col("va", "vb")).filter(
+        F.col("cosine") >= threshold
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))

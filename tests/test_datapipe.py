@@ -1,0 +1,155 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.datapipe.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from graphiti_spark.datapipe.multimodal import (
+    attach_payloads,
+    decode_image_stub,
+    extract_features,
+    fake_features,
+    frame_sample_plan,
+)
+from graphiti_spark.datapipe.simsearch import brute_force_topk, ivf_topk, lsh_bucketed_topk
+from graphiti_spark.datapipe.textanalysis import (
+    language_id,
+    profile_documents,
+    quality_filter,
+    token_budget,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "der hund und die katze und der vogel nicht da"),
+        (5, "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    groups = {r["canonical_id"]: r["dup_count"] for r in out}
+    assert groups[1] == 2  # docs 1,2 identical
+    assert sum(groups.values()) == 5
+
+
+def test_fingerprint_dedup(spark):
+    out = fingerprint_dedup(_docs(spark), k=4).collect()
+    # first-4 + last-4 tokens: docs 1,2 identical; doc 3 differs in last token
+    groups = {r["canonical_id"]: r["dup_count"] for r in out}
+    assert groups[1] == 2
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert all(a < b for a, b in got)
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_simhash_pairs_near_dup(spark):
+    pairs = simhash_pairs(_docs(spark), max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # identical docs -> hamming 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), n=2, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.1]),
+        (2, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.11]),
+        (3, [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(df, threshold=0.99).collect()}
+    assert out == {(1, 2)}
+
+
+def test_brute_force_topk(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = [r["vec_id"] for r in brute_force_topk(df, [1.0, 0.0], k=2).collect()]
+    assert out == [1, 2]
+
+
+def test_lsh_bucketed_matches_brute_force_on_probed(spark):
+    rows = [(i, [float((i % 3) - 1) + 0.1, float(i % 5) / 5 - 0.3]) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [0.9, 0.2]
+    bf = [r["vec_id"] for r in brute_force_topk(df, q, k=3).collect()]
+    ann = [r["vec_id"] for r in lsh_bucketed_topk(df, q, k=3, bits=2).collect()]
+    assert ann[0] == bf[0]  # nearest neighbor survives probing
+
+
+def test_ivf_topk(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    out = [r["vec_id"] for r in ivf_topk(df, cents, [0.95, 0.05], k=2, n_probe=1).collect()]
+    assert out == [1, 2]
+
+
+def test_profile_and_quality(spark):
+    prof = {r["doc_id"]: r for r in profile_documents(_docs(spark)).collect()}
+    assert prof[1]["n_tokens"] == 9
+    assert prof[1]["lang_pred"] == "en"
+    assert prof[4]["lang_pred"] == "de"
+    kept = {r["doc_id"] for r in quality_filter(_docs(spark), min_quality=0.2, min_tokens=5).collect()}
+    assert 1 in kept
+
+
+def test_language_id_scores(spark):
+    out = {r["doc_id"]: r for r in language_id(_docs(spark)).collect()}
+    assert out[4]["score_de"] > out[4]["score_en"]
+
+
+def test_token_budget_grouped(spark):
+    docs = _docs(spark).withColumn("lang", F.when(F.col("doc_id") == 4, "de").otherwise("en"))
+    out = {r["lang"]: r["total_tokens"] for r in token_budget(docs, by="lang").collect()}
+    assert out["de"] == 10 and out["en"] > 20
+
+
+def test_multimodal_features_deterministic(spark):
+    media = attach_payloads(_docs(spark))
+    feats = extract_features(media).collect()
+    assert len(feats) == 5
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id["1"]["features"] == fake_features("the quick brown fox jumps over the lazy dog".encode())
+    assert by_id["1"]["n_bytes"] == 43
+    # identical payloads -> identical features (docs 1 and 2)
+    assert by_id["1"]["payload_md5"] == by_id["2"]["payload_md5"]
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")
+    media = attach_payloads(_docs(spark))
+    with pytest.raises(Exception):  # NotImplementedError surfaces as task failure
+        extract_features(media, use_real_decode=True).collect()
+
+
+def test_frame_sample_plan_metadata_only(spark):
+    media = attach_payloads(_docs(spark))
+    plan = frame_sample_plan(media, every_n=10)
+    rows = plan.collect()
+    assert all(r["sample_frames"][0] == 0 for r in rows)
+    assert "payload" not in plan.columns
