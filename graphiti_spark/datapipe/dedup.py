@@ -192,7 +192,10 @@ def ngram_jaccard_pairs(
         "_shingles",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
+                # greatest(...,1): Spark sequence(1,0) DESCENDS, so an
+                # under-length doc must still get a [1] index (one short
+                # shingle) rather than a reversed range.
+                F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(1))),
                 lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
             )
         ),

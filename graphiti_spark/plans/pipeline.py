@@ -67,7 +67,11 @@ class StageLedger:
 
     def materialize(self, stage: str, build: Callable[[], DataFrame], partition_by: list[str] | None = None) -> DataFrame:
         if self.output_dir is None:
-            df = build()
+            # In-memory mode: persist each stage so multi-consumer stages
+            # (mentions feed S5/S7/S9; dup_pairs feed S6 and the API) are
+            # computed once — the cache is the in-memory twin of the
+            # parquet stage commit below.
+            df = build().persist()
             self.stages_run.append(stage)
             return df
         base, manifest_path = self._paths(stage)
