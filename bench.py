@@ -1,0 +1,106 @@
+"""Benchmark runner — prints ONE JSON line.
+
+Headline: the S1-S9 KG-construction pipeline end-to-end at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; value = wall seconds, with triples/sec (the
+BASELINE.json metric) alongside. Secondary queries time the other operator
+families over the same corpus.
+
+Scaling evidence (north rule: >=0.8 efficiency N -> 4N): run this twice,
+  SPARK_GRAFT_CPUS=8 python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+and compare triples_per_sec (tools/scaling_bench.py automates it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from graphiti_spark.session import get_spark
+    from graphiti_spark.synth import pages_from_documents
+    from graphiti_spark.plans.pipeline import run_pipeline
+
+    spark = get_spark(
+        app_name="graphiti_spark_bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        counts[name] = int(fn())
+        queries[name] = round(time.time() - t0, 3)
+
+    # --- headline: full pipeline e2e (pages -> canonical bi-temporal graph) ---
+    pages = pages_from_documents(spark, sf_dir)
+    t0 = time.time()
+    out = run_pipeline(spark, pages)
+    n_edges = out["edges"].count()
+    n_nodes = out["nodes"].count()
+    n_mentions = out["mentions"].count()
+    pipeline_sec = time.time() - t0
+    queries["kg_pipeline_e2e"] = round(pipeline_sec, 3)
+    counts["kg_pipeline_e2e"] = n_edges
+
+    # --- operator families over the same corpus ---
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+
+    from graphiti_spark.datapipe.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+    from graphiti_spark.datapipe.simsearch import brute_force_topk, lsh_bucketed_topk
+    from graphiti_spark.datapipe.textanalysis import profile_documents
+    from graphiti_spark.analytics.search import bm25_scores
+    from graphiti_spark.analytics.centrality import degree_centrality, pagerank
+
+    timed("exact_dedup", lambda: exact_dedup(docs).count())
+    timed("minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs, jaccard_threshold=0.95).count())
+    timed("simhash_pairs", lambda: simhash_pairs(docs, max_hamming=3).count())
+    timed("text_profile", lambda: profile_documents(docs).count())
+    timed("bm25_search", lambda: bm25_scores(docs, "doc_id", "text", ["spark", "join", "filter"]).count())
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    timed("ann_brute_topk", lambda: brute_force_topk(emb, qvec, k=20).count())
+    timed("ann_lsh_topk", lambda: lsh_bucketed_topk(emb, qvec, k=20).count())
+
+    timed("degree_centrality", lambda: degree_centrality(out["edges"]).count())
+    timed("kg_pagerank10", lambda: pagerank(out["edges"], iterations=10).count())
+
+    result = {
+        "metric": "kg_pipeline_e2e_sec",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        "rows": {
+            "edges": n_edges,
+            "nodes": n_nodes,
+            "mentions": n_mentions,
+            **{k: v for k, v in counts.items() if k != "kg_pipeline_e2e"},
+        },
+        "triples_per_sec": round(n_edges / pipeline_sec, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,7 @@ class PipelineConfig:
     fuzzy_candidate_cap: int = 50        # node_operations.py:444-456
 
     # --- blocking / skew hygiene (scale additions, SURVEY.md §4.1) ---
-    blocking_token_max_df: int = 1000    # drop blocking tokens seen in > N entities
+    blocking_token_max_df: int = 256     # drop blocking tokens seen in > N entities
     lsh_num_hash_tables: int = 8
     lsh_ngram_size: int = 3
     salt_buckets: int = 16               # salting for high-degree entity keys
@@ -57,6 +57,7 @@ class PipelineConfig:
     pagerank_damping: float = 0.85       # centrality_operations.py:58
     pagerank_iterations: int = 20        # centrality_operations.py:62
     cc_max_iterations: int = 50
+    cc_driver_threshold: int = 100_000   # <= N edges: driver union-find (parity path)
 
     # --- job identity ---
     group_id_from_domain: bool = True

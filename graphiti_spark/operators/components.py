@@ -81,6 +81,29 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(rows: list) -> list[tuple[str, str]]:
+    """In-memory union-find with the reference's tie-break: canonical =
+    lexicographically smallest uuid in the component (bulk_utils.py:449-486).
+    Returns non-identity (uuid, canonical) rows."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r["u"]), find(r["v"])
+        if ra != rb:
+            # union toward the smaller root — keeps roots = component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(x, find(x)) for x in list(parent) if find(x) != x]
+
+
 def connected_components(
     pairs: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -89,11 +112,28 @@ def connected_components(
     Only non-identity rows are returned (nodes absent from the map are their
     own canonical — remaps use coalesce), keeping the map small enough to
     broadcast in the S7 joins.
+
+    Hybrid execution: below ``cc_driver_threshold`` edges the pair list is
+    collected and solved with the reference's own union-find (identical
+    min-uuid semantics, zero iteration overhead); above it, the
+    large-star/small-star loop runs distributed. Duplicate pairs are a small
+    fraction of entities, but at 10^12 documents they still exceed any
+    driver's memory — the threshold keeps the driver path an optimization,
+    never a requirement. Both paths are parity-tested against each other.
     """
     edges = _canonical_edges(pairs).localCheckpoint(eager=True)
-    prev = _checksum(edges)
+    n_edges = edges.count()
+    if n_edges <= config.cc_driver_threshold:
+        mapping = _driver_union_find(edges.collect())
+        spark = pairs.sparkSession
+        if not mapping:
+            return spark.createDataFrame([], "uuid string, canonical_uuid string")
+        return spark.createDataFrame(mapping, "uuid string, canonical_uuid string")
+    prev = (n_edges, _checksum(edges)[1])
     for _ in range(config.cc_max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # lazy checkpoint: the checksum action below materializes it, so each
+        # round costs ONE job instead of checkpoint-then-checksum two.
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _checksum(edges)
         if cur == prev:
             break

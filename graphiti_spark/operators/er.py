@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from graphiti_spark.config import DEFAULT_CONFIG, PipelineConfig
-from graphiti_spark.functions.embeddings import cosine_col, hashed_ngram_embedding_udf
+from graphiti_spark.functions.embeddings import dot_col, hashed_ngram_embedding_udf
 from graphiti_spark.functions.hashing import minhash_cols
 
 
@@ -86,8 +86,12 @@ def candidate_pairs(
     )
 
     # --- block 1: shared normalized token, document-frequency capped ---
-    tok = base.select("group_id", "entity_uuid", F.explode("toks").alias("tok")).filter(
-        F.length("tok") >= 2
+    # persist(): the exploded token table feeds the df-cap aggregate AND both
+    # sides of the self-join — without the barrier each consumer re-explodes.
+    tok = (
+        base.select("group_id", "entity_uuid", F.explode("toks").alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .persist()
     )
     tok_df = tok.groupBy("group_id", "tok").agg(F.count(F.lit(1)).alias("df"))
     tok = tok.join(
@@ -128,6 +132,11 @@ def candidate_pairs(
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
+    # persist(): each of the 8 band branches re-evaluates the md5 minhash
+    # family over the char-3-gram arrays; materializing the banded table once
+    # stops the bucket-size aggregate and both self-join sides from paying
+    # that 8x again.
+    banded = banded.persist()
     bucket_sizes = banded.groupBy("group_id", "band", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_n")
     )
@@ -194,27 +203,56 @@ def score_and_filter_pairs(
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size(F.array_union("toks_a", "toks_b"))
-    j = j.withColumn("token_jaccard", F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)))
-    j = j.withColumn("cosine", cosine_col("emb_a", "emb_b"))
     # Compound-name guard: one token set strictly contains the other.
     a_in_b = (F.size(F.array_except("toks_a", "toks_b")) == 0) & (F.size("toks_a") < F.size("toks_b"))
     b_in_a = (F.size(F.array_except("toks_b", "toks_a")) == 0) & (F.size("toks_b") < F.size("toks_a"))
-    j = j.withColumn("compound_guard", ~(a_in_b | b_in_a))
-    # Cheap JVM-side pre-filter before the Python scorer: a fuzzy ratio >= 0.9
-    # implies heavy character overlap, so char-ngram cosine >= ~0.5; pairs
-    # with neither token overlap nor that much character signal can't pass
-    # any acceptance rule. This is what bounds difflib invocations at scale.
-    j = j.filter(
-        F.col("compound_guard") & ((F.col("token_jaccard") > 0) | (F.col("cosine") >= 0.5))
+    la, lb = F.length("norm_a"), F.length("norm_b")
+    # ONE narrow projection computes every JVM score, then persist() —
+    # a materialization barrier. Without it, predicate pushdown substitutes
+    # the 64-dim cosine aggregate into each branch of the downstream filter
+    # (~8 re-evaluations measured, 4x the stage cost); with it, filters read
+    # plain columns. This is also the natural stage-commit boundary for the
+    # scored-candidates table at cluster scale.
+    scored = j.select(
+        "group_id",
+        "uuid_a",
+        "uuid_b",
+        "norm_a",
+        "norm_b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("token_jaccard"),
+        # name_embedding is L2-normalized at construction (embeddings.py), so
+        # cosine == dot — one interpreted higher-order aggregate per pair
+        # instead of three (higher-order fns bypass whole-stage codegen, so
+        # this is the hot expression of the verify stage).
+        dot_col("emb_a", "emb_b").alias("cosine"),
+        (~(a_in_b | b_in_a)).alias("compound_guard"),
+        (F.least(la, lb).cast("double") / F.greatest(la, lb)).alias("len_ratio"),
+        ((F.size("toks_a") > 1) & (F.size("toks_b") > 1)).alias("multi_word"),
+    ).persist()
+    # Cheap JVM-side pre-filters before the Python scorer.
+    # SequenceMatcher.ratio = 2M/(la+lb) with M <= min(la,lb), so
+    # ratio >= t  =>  min(la,lb)/max(la,lb) >= t/(2-t):
+    #   t=0.9 -> len_ratio >= 0.818 ; t=0.8 -> len_ratio >= 0.667.
+    # And a ratio >= 0.9 alignment implies heavy char-3-gram overlap, so the
+    # hashed-ngram cosine is well above 0.35. Only pairs that could still
+    # reach an acceptance rule ever touch difflib — this bounds Python-side
+    # work to a sliver of the candidate set at corpus scale.
+    jac_path = F.col("multi_word") & (F.col("token_jaccard") >= config.maintenance_name_threshold)
+    needs_fuzzy = ((F.col("len_ratio") >= 0.818) & (F.col("cosine") >= 0.35)) | (
+        (F.col("cosine") >= config.maintenance_embedding_threshold)
+        & (F.col("len_ratio") >= 0.667)
     )
-    j = j.withColumn("fuzzy", fuzzy_ratio_udf("norm_a", "norm_b"))
+    j = scored.filter(F.col("compound_guard") & (jac_path | needs_fuzzy))
+    j = j.withColumn(
+        "fuzzy",
+        F.when(needs_fuzzy, fuzzy_ratio_udf("norm_a", "norm_b")).otherwise(F.lit(0.0)),
+    )
     j = j.withColumn(
         "name_similarity", F.greatest(F.col("fuzzy"), F.col("token_jaccard") * 0.8)
     )
-    multi_word = (F.size("toks_a") > 1) & (F.size("toks_b") > 1)
     accepted = j.filter(
         (F.col("fuzzy") >= config.fuzzy_threshold)
-        | (multi_word & (F.col("token_jaccard") >= config.maintenance_name_threshold))
+        | (F.col("multi_word") & (F.col("token_jaccard") >= config.maintenance_name_threshold))
         | (
             (F.col("cosine") >= config.maintenance_embedding_threshold)
             & (F.col("fuzzy") >= config.node_min_score)

@@ -39,7 +39,6 @@ from graphiti_spark.operators.edge_merge import (
     resolve_edge_pointers,
 )
 from graphiti_spark.operators.episodes import episodes_stage
-from graphiti_spark.operators.er import duplicate_pairs_stage
 from graphiti_spark.operators.extract_text import extract_text_stage
 from graphiti_spark.operators.ner import mentions_stage
 from graphiti_spark.operators.temporal import invalidate_contradictions
@@ -124,16 +123,21 @@ def run_pipeline(
     mentions_raw = ledger.materialize("s3_mentions", lambda: mentions_stage(episodes))
     triples_raw = ledger.materialize("s4_triples", lambda: triples_stage(episodes))
 
-    def _s5():
-        _, dup_pairs = duplicate_pairs_stage(mentions_raw, config)
-        return dup_pairs
+    from graphiti_spark.operators.er import (
+        candidate_pairs,
+        entity_catalog,
+        score_and_filter_pairs,
+    )
 
-    dup_pairs = ledger.materialize("s5_duplicate_pairs", _s5)
+    # Entity catalog is its own committed stage: it feeds BOTH the S5
+    # candidate join and the S7 canonical-node fold — one embedding-UDF pass,
+    # not two.
+    entities = ledger.materialize("s5_entities", lambda: entity_catalog(mentions_raw))
+    dup_pairs = ledger.materialize(
+        "s5_duplicate_pairs",
+        lambda: score_and_filter_pairs(entities, candidate_pairs(entities, config), config),
+    )
     uuid_map = ledger.materialize("s6_uuid_map", lambda: connected_components(dup_pairs, config))
-
-    from graphiti_spark.operators.er import entity_catalog
-
-    entities = entity_catalog(mentions_raw)
     nodes = ledger.materialize(
         "s7_nodes",
         lambda: canonical_nodes(entities, uuid_map, config.created_at_iso),

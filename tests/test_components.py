@@ -5,8 +5,14 @@ canonical = lexicographically smallest uuid in the component
 from __future__ import annotations
 
 import random
+from dataclasses import replace
 
+from graphiti_spark.config import DEFAULT_CONFIG
 from graphiti_spark.operators.components import connected_components
+
+# Force the distributed large-star/small-star path (the driver union-find
+# fast path engages under cc_driver_threshold edges otherwise).
+DIST_CFG = replace(DEFAULT_CONFIG, cc_driver_threshold=0)
 
 
 def _reference_union_find(pairs):
@@ -32,9 +38,9 @@ def _reference_union_find(pairs):
     return {x: find(x) for x in parent if find(x) != x}
 
 
-def _run(spark, pairs):
+def _run(spark, pairs, config=DIST_CFG):
     df = spark.createDataFrame([(a, b, "g") for a, b in pairs], "uuid_a string, uuid_b string, group_id string")
-    return {r["uuid"]: r["canonical_uuid"] for r in connected_components(df).collect()}
+    return {r["uuid"]: r["canonical_uuid"] for r in connected_components(df, config).collect()}
 
 
 def test_chain(spark):
@@ -62,3 +68,19 @@ def test_random_graph_matches_union_find(spark):
 
 def test_empty(spark):
     assert _run(spark, []) == {}
+
+
+def test_driver_path_matches_distributed_path(spark):
+    """Hybrid execution parity: the driver union-find fast path and the
+    large-star/small-star loop must emit the identical uuid_map."""
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(80)]
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(100)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    driver = _run(spark, pairs, DEFAULT_CONFIG)  # threshold engages
+    dist = _run(spark, pairs, DIST_CFG)
+    assert driver == dist == _reference_union_find(pairs)
+
+
+def test_empty_driver_path(spark):
+    assert _run(spark, [], DEFAULT_CONFIG) == {}
