@@ -1,0 +1,156 @@
+"""`search()` orchestrator — the batch twin of the reference's hybrid
+search entry point (/root/reference/graphiti_core/search/search.py:68-197):
+embed the query once, fan out edge/node/episode/community searches per the
+SearchConfig, run each configured method at 2x over-fetch (search.py:218),
+rerank, cut to limit, assemble SearchResults.
+
+Each fan-out leg is an independent DataFrame pipeline over the materialized
+graph tables; the legs share the one query embedding and nothing else, so on
+a cluster they execute as independent job groups.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphiti_spark.analytics.search import (
+    bfs_edges,
+    fulltext_search,
+    maximal_marginal_relevance,
+    rrf,
+    similarity_search,
+)
+from graphiti_spark.analytics.search_config import (
+    Reranker,
+    SearchConfig,
+    SearchFilters,
+    SearchMethod,
+    apply_search_filters,
+)
+from graphiti_spark.config import DEFAULT_CONFIG
+from graphiti_spark.functions.embeddings import hashed_ngram_embedding_py
+
+
+@dataclass
+class SearchResults:
+    """search_config.py:121-126 twin."""
+
+    edges: list = field(default_factory=list)
+    nodes: list = field(default_factory=list)
+    episodes: list = field(default_factory=list)
+    communities: list = field(default_factory=list)
+
+
+def _run_methods(
+    table: DataFrame,
+    id_col: str,
+    text_col: str,
+    emb_col: str | None,
+    methods,
+    query: str,
+    qvec: list[float],
+    overfetch: int,
+    min_score: float,
+    bfs_origins: list[str] | None,
+    edges_for_bfs: DataFrame | None,
+) -> list[DataFrame]:
+    out = []
+    for m in methods:
+        if m == SearchMethod.bm25:
+            out.append(fulltext_search(table, id_col, text_col, query, limit=overfetch))
+        elif m == SearchMethod.cosine_similarity and emb_col and emb_col in table.columns:
+            out.append(
+                similarity_search(table, id_col, emb_col, qvec, min_score=min_score, limit=overfetch)
+            )
+        elif m == SearchMethod.bfs and bfs_origins and edges_for_bfs is not None:
+            reach = bfs_edges(edges_for_bfs, bfs_origins, max_depth=3)
+            out.append(
+                reach.select(F.col("uuid").alias(id_col)).withColumn("score", F.lit(1.0)).limit(overfetch)
+            )
+    return out
+
+
+def _rerank(
+    ranked: list[DataFrame],
+    table: DataFrame,
+    id_col: str,
+    emb_col: str | None,
+    reranker: Reranker,
+    qvec: list[float],
+    limit: int,
+    config=DEFAULT_CONFIG,
+) -> list:
+    if not ranked:
+        return []
+    fused = rrf(ranked, id_col, rank_const=config.rrf_rank_const)
+    if reranker in (Reranker.rrf, Reranker.cross_encoder, Reranker.episode_mentions, Reranker.node_distance):
+        # cross_encoder needs an external model (stubbed: falls back to RRF,
+        # mirroring the reference's USE_RUST_SEARCH=off fallback);
+        # node_distance / episode_mentions need a center/mentions context the
+        # caller applies via analytics.search rerankers on the fused frame.
+        return [r[id_col] for r in fused.limit(limit).collect()]
+    if reranker == Reranker.mmr and emb_col and emb_col in table.columns:
+        top = fused.limit(limit * config.overfetch_factor)
+        cands = (
+            top.join(table.select(F.col(id_col), F.col(emb_col)), id_col)
+            .select(id_col, emb_col)
+            .collect()
+        )
+        pairs = [(r[id_col], [float(x) for x in r[emb_col]]) for r in cands]
+        return maximal_marginal_relevance(pairs, qvec, config.mmr_lambda, limit)
+    return [r[id_col] for r in fused.limit(limit).collect()]
+
+
+def search(
+    query: str,
+    config: SearchConfig,
+    edges: DataFrame | None = None,
+    nodes: DataFrame | None = None,
+    episodes: DataFrame | None = None,
+    communities: DataFrame | None = None,
+    filters: SearchFilters | None = None,
+    bfs_origin_uuids: list[str] | None = None,
+) -> SearchResults:
+    """Fan out the configured searches; return uuid lists per scope.
+
+    Query embedded ONCE with the deterministic hashed-ngram embedder
+    (search.py:128-132 embeds once with the external model)."""
+    qvec = hashed_ngram_embedding_py(query)
+    over = config.limit * DEFAULT_CONFIG.overfetch_factor
+    results = SearchResults()
+
+    if config.edge_config and edges is not None:
+        t = apply_search_filters(edges, filters) if filters else edges
+        ranked = _run_methods(
+            t, "uuid", "fact", "fact_embedding", config.edge_config.search_methods,
+            query, qvec, over, config.edge_config.min_score, bfs_origin_uuids, edges,
+        )
+        results.edges = _rerank(ranked, t, "uuid", "fact_embedding",
+                                config.edge_config.reranker, qvec, config.limit)
+    if config.node_config and nodes is not None:
+        t = apply_search_filters(nodes, filters) if filters else nodes
+        ranked = _run_methods(
+            t, "uuid", "name", "name_embedding", config.node_config.search_methods,
+            query, qvec, over, config.node_config.min_score, bfs_origin_uuids, edges,
+        )
+        results.nodes = _rerank(ranked, t, "uuid", "name_embedding",
+                                config.node_config.reranker, qvec, config.limit)
+    if config.episode_config and episodes is not None:
+        ranked = _run_methods(
+            episodes, "uuid", "content", None, config.episode_config.search_methods,
+            query, qvec, over, 0.0, None, None,
+        )
+        results.episodes = _rerank(ranked, episodes, "uuid", None,
+                                   config.episode_config.reranker, qvec, config.limit)
+    if config.community_config and communities is not None:
+        ranked = _run_methods(
+            communities, "uuid", "summary", "name_embedding",
+            config.community_config.search_methods, query, qvec, over,
+            config.community_config.min_score, None, None,
+        )
+        results.communities = _rerank(ranked, communities, "uuid", "name_embedding",
+                                      config.community_config.reranker, qvec, config.limit)
+    return results

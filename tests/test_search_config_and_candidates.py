@@ -1,0 +1,161 @@
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.analytics.candidates import (
+    filter_existing_duplicate_pairs,
+    get_edge_invalidation_candidates,
+    get_relevant_edges,
+    get_relevant_nodes,
+)
+from graphiti_spark.analytics.orchestrator import search
+from graphiti_spark.analytics.search_config import (
+    COMBINED_HYBRID_SEARCH_RRF,
+    EDGE_HYBRID_SEARCH_RRF,
+    ComparisonOperator,
+    DateFilter,
+    SearchFilters,
+    apply_search_filters,
+)
+from graphiti_spark.functions.embeddings import hashed_ngram_embedding_py
+from graphiti_spark.sinks.tables import dedupe_for_upsert, merge_into_sql
+
+
+def test_date_filter_or_of_ands(spark):
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1)), ("b", datetime(2024, 6, 1)), ("c", datetime(2025, 1, 1))],
+        "uuid string, valid_at timestamp",
+    )
+    filters = SearchFilters(
+        valid_at=[
+            [  # AND group 1: within 2024
+                DateFilter(datetime(2024, 1, 1), ComparisonOperator.greater_than_equal),
+                DateFilter(datetime(2024, 12, 31), ComparisonOperator.less_than),
+            ],
+            [DateFilter(datetime(2025, 1, 1), ComparisonOperator.equals)],  # OR exactly 2025-01-01
+        ]
+    )
+    got = {r["uuid"] for r in apply_search_filters(df, filters).collect()}
+    assert got == {"a", "b", "c"}
+    filters2 = SearchFilters(
+        valid_at=[[DateFilter(datetime(2024, 5, 1), ComparisonOperator.greater_than)]]
+    )
+    assert {r["uuid"] for r in apply_search_filters(df, filters2).collect()} == {"b", "c"}
+
+
+def test_edge_type_and_label_filters(spark):
+    df = spark.createDataFrame(
+        [("e1", "WORKS_AT"), ("e2", "LIKES")], "uuid string, name string"
+    )
+    out = apply_search_filters(df, SearchFilters(edge_types=["LIKES"]))
+    assert [r["uuid"] for r in out.collect()] == ["e2"]
+    nodes = spark.createDataFrame(
+        [("n1", ["Entity", "Person"]), ("n2", ["Entity"])], "uuid string, labels array<string>"
+    )
+    out = apply_search_filters(nodes, SearchFilters(node_labels=["Person"]))
+    assert [r["uuid"] for r in out.collect()] == ["n1"]
+
+
+def _emb(s):
+    return hashed_ngram_embedding_py(s)
+
+
+def test_get_relevant_nodes(spark):
+    probes = spark.createDataFrame(
+        [("p1", "g", "acme_corp", _emb("acme_corp"))],
+        "uuid string, group_id string, name_norm string, name_embedding array<float>",
+    )
+    nodes = spark.createDataFrame(
+        [
+            ("n1", "g", "acme_corp", _emb("acme_corp")),
+            ("n2", "g", "acme_corporation", _emb("acme_corporation")),
+            ("n3", "g", "zzz_unrelated", _emb("zzz_unrelated")),
+        ],
+        "uuid string, group_id string, name_norm string, name_embedding array<float>",
+    )
+    got = {r["candidate_uuid"]: r["score"] for r in get_relevant_nodes(probes, nodes, min_score=0.5).collect()}
+    assert "n1" in got and got["n1"] > 0.99
+    assert "n2" in got
+    assert "n3" not in got
+
+
+def test_get_relevant_edges_same_endpoints(spark):
+    schema = "uuid string, group_id string, source_node_uuid string, target_node_uuid string, fact_embedding array<float>"
+    probes = spark.createDataFrame([("p1", "g", "a", "b", _emb("works at"))], schema)
+    edges = spark.createDataFrame(
+        [
+            ("e1", "g", "a", "b", _emb("works at")),
+            ("e2", "g", "a", "b", _emb("completely different fact text")),
+            ("e3", "g", "a", "c", _emb("works at")),
+        ],
+        schema,
+    )
+    got = {r["candidate_uuid"] for r in get_relevant_edges(probes, edges, min_score=0.6).collect()}
+    assert "e1" in got and "e3" not in got
+
+
+def test_invalidation_candidates_shared_endpoint(spark):
+    schema = "uuid string, group_id string, source_node_uuid string, target_node_uuid string, fact_embedding array<float>"
+    probes = spark.createDataFrame([("p1", "g", "a", "b", _emb("owns nestly"))], schema)
+    edges = spark.createDataFrame(
+        [
+            ("e1", "g", "a", "c", _emb("owns firmly")),
+            ("e2", "g", "x", "y", _emb("owns nestly")),
+        ],
+        schema,
+    )
+    got = {r["candidate_uuid"] for r in get_edge_invalidation_candidates(probes, edges).collect()}
+    assert got == {"e1"}  # shares endpoint 'a'; e2 shares none
+
+
+def test_filter_existing_duplicate_pairs(spark):
+    pairs = spark.createDataFrame([("a", "b"), ("c", "d")], "uuid_a string, uuid_b string")
+    audit = spark.createDataFrame(
+        [("a", "b", "IS_DUPLICATE_OF")], "source_node_uuid string, target_node_uuid string, name string"
+    )
+    got = {(r["uuid_a"], r["uuid_b"]) for r in filter_existing_duplicate_pairs(pairs, audit).collect()}
+    assert got == {("c", "d")}
+
+
+def test_dedupe_for_upsert_policy(spark):
+    from datetime import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            ("u1", ["ep1", "ep2"], dt(2024, 1, 2), None),
+            ("u1", ["ep2", "ep3"], dt(2024, 1, 1), "the fact"),
+        ],
+        "uuid string, episodes array<string>, created_at timestamp, fact string",
+    )
+    row = dedupe_for_upsert(df).collect()[0]
+    assert row["episodes"] == ["ep1", "ep2", "ep3"]
+    assert row["created_at"] == dt(2024, 1, 1)
+    assert row["fact"] == "the fact"
+
+
+def test_merge_into_sql_shape():
+    sql = merge_into_sql("kg.nodes", "updates", ["uuid", "name", "summary"])
+    assert "MERGE INTO kg.nodes t USING updates s ON t.uuid = s.uuid" in sql
+    assert "UPDATE SET t.name = s.name, t.summary = s.summary" in sql
+    assert "INSERT (uuid, name, summary)" in sql
+
+
+def test_search_orchestrator_end_to_end(spark):
+    edges = spark.createDataFrame(
+        [
+            ("e1", "a", "b", "Alice works at Acme Corp", _emb("alice works at acme corp")),
+            ("e2", "b", "c", "Bob likes trains", _emb("bob likes trains")),
+        ],
+        "uuid string, source_node_uuid string, target_node_uuid string, fact string, fact_embedding array<float>",
+    )
+    nodes = spark.createDataFrame(
+        [("a", "Alice", _emb("alice")), ("b", "Acme Corp", _emb("acme_corp"))],
+        "uuid string, name string, name_embedding array<float>",
+    )
+    res = search("alice acme", COMBINED_HYBRID_SEARCH_RRF, edges=edges, nodes=nodes)
+    assert res.edges and res.edges[0] == "e1"
+    assert res.nodes
+    res2 = search("alice acme", EDGE_HYBRID_SEARCH_RRF, edges=edges)
+    assert res2.edges and not res2.nodes
