@@ -47,7 +47,8 @@ def main() -> None:
         queries[name] = round(time.time() - t0, 3)
 
     # --- headline: full pipeline e2e (pages -> canonical bi-temporal graph) ---
-    pages = pages_from_documents(spark, sf_dir)
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "1"))
+    pages = pages_from_documents(spark, sf_dir, replicate=replicate)
     t0 = time.time()
     out = run_pipeline(spark, pages)
     n_edges = out["edges"].count()
@@ -56,6 +57,23 @@ def main() -> None:
     pipeline_sec = time.time() - t0
     queries["kg_pipeline_e2e"] = round(pipeline_sec, 3)
     counts["kg_pipeline_e2e"] = n_edges
+
+    if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_ONLY") == "1":
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_pipeline_e2e_sec",
+                    "value": round(pipeline_sec, 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "cpus": int(cpus),
+                    "rows": {"edges": n_edges, "nodes": n_nodes, "mentions": n_mentions},
+                    "triples_per_sec": round(n_edges / pipeline_sec, 2),
+                }
+            )
+        )
+        return
 
     # --- operator families over the same corpus ---
     from pyspark.sql import functions as F

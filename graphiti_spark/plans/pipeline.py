@@ -66,11 +66,14 @@ class StageLedger:
 
     def materialize(self, stage: str, build: Callable[[], DataFrame], partition_by: list[str] | None = None) -> DataFrame:
         if self.output_dir is None:
-            # In-memory mode: persist each stage so multi-consumer stages
-            # (mentions feed S5/S7/S9; dup_pairs feed S6 and the API) are
-            # computed once — the cache is the in-memory twin of the
-            # parquet stage commit below.
-            df = build().persist()
+            # In-memory mode: localCheckpoint each stage. Two effects, both
+            # load-bearing: (1) multi-consumer stages (mentions feed S5/S7/S9)
+            # compute once, like the parquet commit below; (2) the logical
+            # plan TRUNCATES to a LogicalRDD — without that, every downstream
+            # action re-analyzes the full upstream tree and driver-side
+            # planning becomes the serial bottleneck (measured ~60% of wall
+            # at SF=0.1; Amdahl kills multi-core scaling).
+            df = build().localCheckpoint(eager=True)
             self.stages_run.append(stage)
             return df
         base, manifest_path = self._paths(stage)

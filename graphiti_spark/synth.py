@@ -62,8 +62,26 @@ def _build_html_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
     )
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    """Pages table from the driver-provided documents. ``replicate`` unions
+    `replicate` deterministic variants (distinct doc_id offsets -> distinct
+    urls, hosts, and html) — used by the scaling benchmark to build a
+    compute-dominant corpus at the same small storage footprint."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        variants = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.col("text"),
+                F.col("lang"),
+                F.concat(F.col("source"), F.lit(f"r{i}")).alias("source"),
+            )
+            for i in range(replicate)
+        ]
+        base = variants[0]
+        for v in variants[1:]:
+            base = base.unionByName(v)
+        docs = base.repartition(max(spark.sparkContext.defaultParallelism, replicate))
     return docs.select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")).alias("url"),
         (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(mins=F.col("doc_id") % 525600)).alias("warc_ts"),

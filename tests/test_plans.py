@@ -1,0 +1,79 @@
+"""Plan-shape regression tests: the physical plans we rely on at 100 TB.
+
+Catalyst behaviors asserted here are load-bearing for scale:
+ - parquet filter pushdown + column pruning (episode as-of scans),
+ - broadcast hash join for the uuid_map pointer rewrite (no shuffle of the
+   big triples table),
+ - TakeOrderedAndProject for top-k (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def parquet_events(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(parquet_events):
+    df = parquet_events.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "value" not in read_schema  # unused column pruned from the scan
+
+
+def test_asof_scan_is_take_ordered(parquet_events):
+    from graphiti_spark.operators.episodes import retrieve_episodes
+
+    df = parquet_events.select(
+        F.col("event_id").alias("uuid"),
+        F.col("ts").alias("valid_at"),
+        F.lit("g").alias("group_id"),
+        F.lit("text").alias("source"),
+    )
+    out = retrieve_episodes(df, "2024-06-01", last_n=5)
+    assert "TakeOrderedAndProject" in _plan(out)
+
+
+def test_pointer_rewrite_uses_broadcast_join(spark):
+    from graphiti_spark.operators.edge_merge import resolve_edge_pointers
+
+    triples = spark.createDataFrame(
+        [("t1", "g", "a", "b")],
+        "episode_uuid string, group_id string, source_entity_uuid string, target_entity_uuid string",
+    )
+    umap = spark.createDataFrame([("a", "a0")], "uuid string, canonical_uuid string")
+    plan = _plan(resolve_edge_pointers(triples, umap))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_similarity_topk_is_take_ordered(spark):
+    from graphiti_spark.analytics.search import similarity_search
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    out = similarity_search(df, "vec_id", "embedding", [1.0, 0.0], min_score=0.0, limit=5)
+    assert "TakeOrderedAndProject" in _plan(out)
+
+
+def test_mentions_stage_is_shuffle_free(spark):
+    from graphiti_spark.fixtures import fixture_pages_df
+    from graphiti_spark.operators.episodes import episodes_stage
+    from graphiti_spark.operators.extract_text import extract_text_stage
+    from graphiti_spark.operators.ner import mentions_stage
+
+    eps = episodes_stage(extract_text_stage(fixture_pages_df(spark)))
+    plan = _plan(mentions_stage(eps))
+    assert "Exchange" not in plan  # pure map stages: no shuffle boundary
