@@ -217,16 +217,16 @@ def _q_kg_communities(spark, sf_dir):
 
 def _q_kg_search_hybrid(spark, sf_dir):
     from graphiti_spark.analytics.search import hybrid_search
-    from graphiti_spark.functions.embeddings import hashed_ngram_embedding_py
+    from graphiti_spark.functions.embeddings import (
+        hashed_ngram_embedding_py,
+        hashed_ngram_embedding_udf,
+    )
 
     out = _pipeline(spark, sf_dir)
-    docs = out["episodes"].withColumn(
-        "embedding", F.col("name_embedding") if "name_embedding" in out["episodes"].columns else F.lit(None)
-    )
     # embed episode content head with the same hashed-ngram embedder
-    from graphiti_spark.functions.embeddings import hashed_ngram_embedding_udf
-
-    docs = out["episodes"].withColumn("embedding", hashed_ngram_embedding_udf(F.substring("content", 1, 256)))
+    docs = out["episodes"].withColumn(
+        "embedding", hashed_ngram_embedding_udf(F.substring("content", 1, 256))
+    )
     qvec = hashed_ngram_embedding_py("spark merge join")
     return hybrid_search(docs, "uuid", "content", "embedding", "spark merge join", qvec, limit=10)
 

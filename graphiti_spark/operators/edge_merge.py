@@ -69,6 +69,58 @@ def merge_edges(remapped: DataFrame) -> DataFrame:
     )
 
 
+def dedupe_edges_by_fact(
+    edges: DataFrame,
+    fact_cosine_threshold: float = 0.6,
+) -> DataFrame:
+    """Fact-similarity edge dedup (dedupe_edges_bulk parity,
+    bulk_utils.py:360-446): candidates are edges with the SAME canonical
+    (source, target) whose fact embeddings reach cosine >= 0.6
+    (min_score at bulk_utils.py:369); duplicates merge under the
+    lexicographically-smallest edge uuid with the standard property fold.
+
+    With deterministic predicate extraction, most duplicates already share
+    (src, dst, name) and were folded by merge_edges; this pass additionally
+    collapses predicate paraphrases ("WORKS_AT" vs "EMPLOYED_AT") whose fact
+    sentences agree. Self-join fan-out is bounded: the key (group, src, dst)
+    has small multiplicity after merge_edges.
+    """
+    from graphiti_spark.functions.embeddings import dot_col, hashed_ngram_embedding_udf
+
+    e = edges.withColumn("_femb", hashed_ngram_embedding_udf(F.substring("fact", 1, 256)))
+    e = e.localCheckpoint(eager=False)
+    key = ["group_id", "source_node_uuid", "target_node_uuid"]
+    a = e.select(*key, F.col("uuid").alias("uuid_a"), F.col("_femb").alias("femb_a"))
+    b = e.select(*key, F.col("uuid").alias("uuid_b"), F.col("_femb").alias("femb_b"))
+    pairs = (
+        a.join(b, key)
+        .filter(F.col("uuid_a") < F.col("uuid_b"))
+        .withColumn("fact_cosine", dot_col("femb_a", "femb_b"))
+        .filter(F.col("fact_cosine") >= fact_cosine_threshold)
+        .select(*key, "uuid_a", "uuid_b", "fact_cosine")
+    )
+    from graphiti_spark.operators.components import connected_components
+
+    edge_uuid_map = connected_components(pairs.select("uuid_a", "uuid_b"))
+    m = F.broadcast(edge_uuid_map)
+    remapped = (
+        e.join(m, e["uuid"] == m["uuid"], "left")
+        .drop(m["uuid"])
+        .withColumn("canonical_edge_uuid", F.coalesce("canonical_uuid", F.col("uuid")))
+        .drop("canonical_uuid", "_femb")
+    )
+    merged = remapped.groupBy("group_id", "source_node_uuid", "target_node_uuid", "canonical_edge_uuid").agg(
+        F.min_by("name", "uuid").alias("name"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("episodes")))).alias("episodes"),
+        F.min("created_at").alias("created_at"),
+        F.min("valid_at").alias("valid_at"),
+        F.max("invalid_at").alias("invalid_at"),
+        F.min_by("fact", F.struct(F.col("valid_at"), F.col("fact"))).alias("fact"),
+        F.sum("mention_count").alias("mention_count"),
+    )
+    return merged.withColumnRenamed("canonical_edge_uuid", "uuid")
+
+
 def build_duplicate_of_edges(uuid_map: DataFrame, created_at_iso: str) -> DataFrame:
     """IS_DUPLICATE_OF audit edges (edge_operations.py:130-169): one edge per
     (canonical <- duplicate) mapping; self-pairs excluded by construction."""

@@ -64,7 +64,19 @@ class StageLedger:
         base = os.path.join(self.output_dir, stage)
         return base, os.path.join(base, "_manifest.json")
 
-    def materialize(self, stage: str, build: Callable[[], DataFrame], partition_by: list[str] | None = None) -> DataFrame:
+    def materialize(
+        self,
+        stage: str,
+        build: Callable[[], DataFrame],
+        partition_by: list[str] | None = None,
+        salt_on: str | None = None,
+        salt_buckets: int = 16,
+    ) -> DataFrame:
+        """``salt_on``: repartition the write on (column, salt) so a
+        high-degree key (a hot entity mentioned on millions of pages) spreads
+        over `salt_buckets` shuffle partitions instead of one straggler task
+        — the north rule's salted materialization. File layout/partition_by
+        are unchanged; only task balance shifts."""
         if self.output_dir is None:
             # In-memory mode: localCheckpoint each stage. Two effects, both
             # load-bearing: (1) multi-consumer stages (mentions feed S5/S7/S9)
@@ -84,6 +96,14 @@ class StageLedger:
                 self.stages_resumed.append(stage)
                 return self.spark.read.parquet(os.path.join(base, "data"))
         df = build()
+        if salt_on is not None:
+            df = df.repartition(
+                F.concat(
+                    F.col(salt_on),
+                    F.lit("#"),
+                    F.pmod(F.crc32(F.coalesce(F.col("uuid"), F.lit(""))), F.lit(salt_buckets)),
+                )
+            )
         data_path = os.path.join(base, "data")
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -154,8 +174,14 @@ def run_pipeline(
     edges = ledger.materialize(
         "s8_edges_final", lambda: invalidate_contradictions(edges_merged, config), partition_by=["group_id"]
     )
+    # Salt the mentions write on entity_uuid: canonicalization concentrates a
+    # hot entity's mention rows on one key (the "google" problem at corpus
+    # scale); salting spreads the write across salt_buckets tasks.
     mentions = ledger.materialize(
-        "s9_mentions_final", lambda: remap_mentions(mentions_raw, uuid_map)
+        "s9_mentions_final",
+        lambda: remap_mentions(mentions_raw, uuid_map),
+        salt_on="entity_uuid",
+        salt_buckets=config.salt_buckets,
     )
     audit = ledger.materialize(
         "s9_audit_edges", lambda: build_duplicate_of_edges(uuid_map, config.created_at_iso)
