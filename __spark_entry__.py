@@ -343,7 +343,9 @@ def _q_simhash_fingerprints(spark, sf_dir):
 def _q_simhash_pairs(spark, sf_dir):
     from graphiti_spark.datapipe.dedup import simhash_pairs
 
-    out = simhash_pairs(_t(spark, sf_dir, "documents"), bits=32, max_hamming=3, slices=4)
+    out = simhash_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, max_hamming=3, slices=4, slice_cap=1000
+    )
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -650,9 +652,15 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
             fp AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM toks),
-            sl AS (SELECT doc_id, simhash, i.s AS slice_idx,
-                          (simhash >> (i.s * 8)) & 255 AS slice_val
-                   FROM fp, (SELECT unnest(generate_series(0, 3)) AS s) i),
+            sl0 AS (SELECT doc_id, simhash, i.s AS slice_idx,
+                           (simhash >> (i.s * 8)) & 255 AS slice_val
+                    FROM fp, (SELECT unnest(generate_series(0, 3)) AS s) i),
+            -- slice-bucket frequency cap (mirror of dedup.simhash_pairs slice_cap=1000)
+            keptsl AS (SELECT slice_idx, slice_val
+                       FROM (SELECT slice_idx, slice_val, count(*) AS n
+                             FROM sl0 GROUP BY slice_idx, slice_val)
+                       WHERE n <= 1000),
+            sl AS (SELECT sl0.* FROM sl0 JOIN keptsl USING (slice_idx, slice_val)),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                             a.simhash AS sa, b.simhash AS sb
                      FROM sl a JOIN sl b

@@ -22,11 +22,35 @@ hashes for this reason).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
-from graphiti_spark.functions.hashing import md5_long_col, minhash_cols, simhash_col
+from graphiti_spark.functions.hashing import (
+    md5_long_col,
+    minhash_cols,
+    minhash_sig_udf,
+    simhash_col,
+    simhash_udf,
+)
 from graphiti_spark.functions.textstats import tokens_col
+
+
+@F.pandas_udf(DoubleType())
+def _set_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact set-Jaccard over two token-array columns, one Arrow batch.
+
+    Replaces interpreted ``array_intersect``/``array_union`` on full token
+    arrays (the per-element HOF trap: 251.6s for the MinHash verify at sf0.1
+    in BENCH_r01) with Python-set ops — the er.py score_pair_udf pattern."""
+    out = [0.0] * len(a)
+    for i in range(len(a)):
+        sa = set(a[i]) if a[i] is not None else set()
+        sb = set(b[i]) if b[i] is not None else set()
+        u = len(sa | sb)
+        out[i] = len(sa & sb) / u if u else 0.0
+    return pd.Series(out)
 
 
 def exact_dedup(
@@ -63,9 +87,15 @@ def fingerprint_dedup(
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 8
 ) -> DataFrame:
-    """Per-document MinHash signature over word tokens (map-only, no shuffle)."""
-    return docs.select(
-        F.col(id_col), *minhash_cols(tokens_col(text_col), num_hashes)
+    """Per-document MinHash signature over word tokens (map-only, no shuffle).
+
+    One Arrow-batched UDF pass (bit-identical to the ``minhash_cols``
+    column-expression spec; see minhash_sig_udf for why)."""
+    sig = minhash_sig_udf(num_hashes)
+    sigged = docs.select(F.col(id_col), sig(tokens_col(text_col)).alias("_sig"))
+    return sigged.select(
+        F.col(id_col),
+        *[F.element_at("_sig", i + 1).alias(f"mh{i}") for i in range(num_hashes)],
     )
 
 
@@ -84,17 +114,17 @@ def minhash_lsh_pairs(
     (id_a, id_b, jaccard) with id_a < id_b. Bucket frequency cap bounds
     worst-case fan-out under skew (boilerplate pages hashing identically).
     """
+    # ONE Arrow-batched signature pass, persisted: every downstream consumer
+    # (band unpivot, bucket-size agg, both self-join sides, the verify joins)
+    # reads the materialized signatures instead of re-running the hash family.
+    sig = minhash_sig_udf(num_hashes)
     sigs = docs.select(
         F.col(id_col).alias("_id"),
-        tokens_col(text_col).alias("_toks"),
-        *minhash_cols(tokens_col(text_col), num_hashes),
-    )
-    bands = None
-    for i in range(num_hashes):
-        b = sigs.select(
-            "_id", F.lit(i).alias("band"), F.col(f"mh{i}").alias("band_hash")
-        )
-        bands = b if bands is None else bands.unionByName(b)
+        F.array_distinct(tokens_col(text_col)).alias("_tokset"),
+        sig(tokens_col(text_col)).alias("_sig"),
+    ).persist()
+    # posexplode unpivots all bands in one pass (no 8-way union re-evaluation)
+    bands = sigs.select("_id", F.posexplode("_sig").alias("band", "band_hash"))
     sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("n"))
     bands = bands.join(
         sizes.filter(F.col("n") <= bucket_cap).select("band", "band_hash"),
@@ -107,16 +137,13 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    toks = sigs.select("_id", F.array_distinct("_toks").alias("_tokset"))
+    toks = sigs.select("_id", "_tokset")
     j = (
         cand.join(toks.select(F.col("_id").alias("id_a"), F.col("_tokset").alias("toks_a")), "id_a")
         .join(toks.select(F.col("_id").alias("id_b"), F.col("_tokset").alias("toks_b")), "id_b")
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
-    j = j.withColumn(
-        "jaccard", F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    )
+    # Arrow-batched exact verify on surviving candidates only.
+    j = j.withColumn("jaccard", _set_jaccard_udf("toks_a", "toks_b"))
     return j.filter(F.col("jaccard") >= jaccard_threshold).select("id_a", "id_b", "jaccard")
 
 
@@ -124,8 +151,12 @@ def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
     """Per-document SimHash (map-only). Near-dups = small Hamming distance;
-    at scale, group by bit-slices (4x8-bit keys) and compare within buckets."""
-    return docs.select(F.col(id_col), simhash_col(tokens_col(text_col), bits).alias("simhash"))
+    at scale, group by bit-slices (4x8-bit keys) and compare within buckets.
+
+    Computed by one Arrow-batched UDF (bit-identical to the ``simhash_col``
+    column-expression spec — see simhash_udf for the cost argument)."""
+    fp = simhash_udf(bits)
+    return docs.select(F.col(id_col), fp(tokens_col(text_col)).alias("simhash"))
 
 
 def simhash_pairs(
@@ -135,23 +166,50 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     slices: int = 4,
+    slice_cap: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs: slice the fingerprint into `slices` bands
     (pigeonhole: hamming <= slices-1 guarantees one identical slice; with
     max_hamming < slices recall is exact), block on (slice_idx, slice_val),
-    verify exact Hamming distance via xor bit_count."""
-    fp = simhash_fingerprints(docs, id_col, text_col, bits).withColumnRenamed(id_col, "_id")
+    verify exact Hamming distance via xor bit_count.
+
+    ``slice_cap``: frequency cap on (slice_idx, slice_val) buckets — a hot
+    slice value (boilerplate-heavy corpora collapse to a few fingerprints)
+    fans out O(B^2) candidate pairs; buckets above the cap are dropped from
+    blocking, bounding worst-case shuffle fan-out at corpus scale (same
+    hygiene as ``bucket_cap`` in the MinHash path)."""
+    fp = (
+        simhash_fingerprints(docs, id_col, text_col, bits)
+        .withColumnRenamed(id_col, "_id")
+        .persist()  # fingerprint UDF runs once, not once per self-join side
+    )
     width = bits // slices
     mask = (1 << width) - 1
-    sliced = None
-    for s in range(slices):
-        part = fp.select(
-            "_id",
-            "simhash",
-            F.lit(s).alias("slice_idx"),
-            F.shiftright("simhash", s * width).bitwiseAND(F.lit(mask)).alias("slice_val"),
-        )
-        sliced = part if sliced is None else sliced.unionByName(part)
+    # one pass: explode precomputed (slice_idx, slice_val) structs
+    sliced = fp.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("slice_idx"),
+                        F.shiftright("simhash", s * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice_val"),
+                    )
+                    for s in range(slices)
+                ]
+            )
+        ).alias("_sl"),
+    ).select("_id", "simhash", "_sl.slice_idx", "_sl.slice_val")
+    bucket_sizes = sliced.groupBy("slice_idx", "slice_val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sliced = sliced.join(
+        bucket_sizes.filter(F.col("n") <= slice_cap).select("slice_idx", "slice_val"),
+        ["slice_idx", "slice_val"],
+    )
     cand = (
         sliced.alias("a")
         .join(sliced.alias("b"), ["slice_idx", "slice_val"])

@@ -15,8 +15,17 @@ whole computation inside whole-stage codegen with zero shuffles.
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+
+def _md5_long_py(s: str) -> int:
+    """Python twin of md5_long_col: first 15 md5 hex chars as int (60 bits)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
 def md5_long_col(col: Column | str) -> Column:
@@ -61,6 +70,71 @@ def minhash_sql(tokens_expr: str, num_hashes: int, prefix: str = "mh") -> list[s
     ]
 
 
+def minhash_sig_udf(num_hashes: int):
+    """Arrow-batched MinHash signature: token array -> array<long> of
+    ``num_hashes`` signatures, bit-identical to ``minhash_cols``.
+
+    Why a pandas UDF and not the ``minhash_cols`` column expressions: Spark
+    higher-order functions (transform + md5 per token) are interpreted per
+    element, and the banded-LSH consumers evaluate the signature expression
+    once per band branch — measured as the dominant cost of
+    ``minhash_lsh_pairs`` (251.6s at sf0.1 in BENCH_r01). One Arrow transfer
+    + hashlib over DISTINCT tokens computes all hashes in a single pass;
+    the result is persisted/reused by callers. Empty/None token arrays yield
+    all-NULL signatures, matching ``array_min`` over an empty array.
+    """
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(toks: pd.Series) -> pd.Series:
+        out = []
+        for arr in toks:
+            if arr is None or len(arr) == 0:
+                out.append([None] * num_hashes)
+                continue
+            ts = set(arr)
+            out.append(
+                [min(_md5_long_py(f"{i}:{t}") for t in ts) for i in range(num_hashes)]
+            )
+        return pd.Series(out)
+
+    return _sig
+
+
+def simhash_udf(bits: int = 32):
+    """Arrow-batched SimHash: token array -> long fingerprint, bit-identical
+    to ``simhash_col`` / ``simhash_sql``.
+
+    Replaces the interpreted 32-pass ``aggregate()`` fold (each bit re-walked
+    the md5-hashed token array; 447.4s at sf0.1 in BENCH_r01): one hashlib
+    pass per distinct token, occurrence-weighted numpy bit-count fold for all
+    bits at once.
+    """
+
+    @F.pandas_udf(LongType())
+    def _fp(toks: pd.Series) -> pd.Series:
+        import numpy as np
+
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = np.zeros(len(toks), dtype=np.int64)
+        for i, arr in enumerate(toks):
+            if arr is None or len(arr) == 0:
+                continue
+            # duplicates contribute once per occurrence -> weight by count
+            counts: dict[str, int] = {}
+            for t in arr:
+                counts[t] = counts.get(t, 0) + 1
+            hs = np.fromiter(
+                (_md5_long_py(t) for t in counts), dtype=np.uint64, count=len(counts)
+            )
+            w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+            bitmat = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            sums = ((2 * bitmat - 1) * w[:, None]).sum(axis=0)
+            out[i] = int(((sums > 0).astype(np.uint64) << shifts).sum())
+        return pd.Series(out)
+
+    return _fp
+
+
 def simhash_col(tokens: Column | str, bits: int = 32) -> Column:
     """SimHash fingerprint over a token array (document near-dup sketch).
 
@@ -68,6 +142,9 @@ def simhash_col(tokens: Column | str, bits: int = 32) -> Column:
     -1); fingerprint bit b = 1 iff sum > 0. Expressed with aggregate() +
     shiftleft — all JVM-side. 32 bits keeps every intermediate in a long and
     stays DuckDB-expressible.
+
+    NOTE: interpreted per element per bit — kept as the readable spec /
+    cross-check; the hot path uses ``simhash_udf`` (identical output).
     """
     toks = F.col(tokens) if isinstance(tokens, str) else tokens
     hashed = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
