@@ -547,6 +547,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # --- pinned golden oracles for the Python-UDF KG pipeline ---------------
+    # The extraction/ER stages have no feasible DuckDB twin (the html stripper
+    # alone is ~200 lines of stateful regex logic), so the sf0.01 output is
+    # pinned as golden parquet (tools/make_goldens.py; determinism proven by
+    # regenerating in independent processes). The oracle reads the checked-in
+    # golden — a hard regression lock on rows + schema + values. Valid at the
+    # driver's correctness SF (0.01) only.
+    golden = {
+        name: f"SELECT * FROM read_parquet('/root/repo/tests/golden/sf0.01/{name}.parquet')"
+        for name in (
+            "kg_nodes",
+            "kg_edges",
+            "kg_mentions",
+            "kg_duplicate_pairs",
+            "kg_extract_text",
+            "kg_pagerank",
+            "kg_communities",
+            "kg_search_hybrid",
+        )
+    }
     lang_score = lambda words: f"len(list_filter({_TOKS}, t -> t IN ({words})))"
     s_en, s_de, s_fr, s_es = (lang_score(w) for w in (_EN, _DE, _FR, _ES))
     n_bpe = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))"
@@ -572,6 +592,24 @@ def oracle_sql() -> dict[str, str]:
     terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
     return {
+        **golden,
+        "ann_ivf_topk": f"""
+            WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id IN (0,1,2,3)),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            probe AS (SELECT cid FROM c CROSS JOIN q
+                      ORDER BY {_COS.format(a="c.cv", b="q.qv")} DESC, cid LIMIT 2),
+            a AS (SELECT e.vec_id, e.embedding, c.cid,
+                         {_COS.format(a="e.embedding", b="c.cv")} AS cs
+                  FROM embeddings e CROSS JOIN c),
+            best AS (SELECT vec_id, embedding, cid FROM
+                       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM a)
+                     WHERE rn = 1),
+            probed AS (SELECT b.vec_id, b.embedding FROM best b JOIN probe USING (cid)),
+            scored AS (SELECT p.vec_id, {_COS.format(a="p.embedding", b="q.qv")} AS score
+                       FROM probed p CROSS JOIN q)
+            SELECT vec_id, round(score, 6) AS score
+            FROM (SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 20)
+        """,
         "episodes_asof": """
             SELECT event_id, epoch_us(ts) AS ts_us, event_type
             FROM (SELECT * FROM events WHERE ts <= TIMESTAMP '2024-06-01 00:00:00'
