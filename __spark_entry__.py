@@ -467,6 +467,20 @@ def _q_degree_centrality(spark, sf_dir):
     )
 
 
+def _q_betweenness(spark, sf_dir):
+    from graphiti_spark.analytics.centrality import betweenness_centrality
+
+    sup = _t(spark, sf_dir, "supplier")
+    edges = sup.select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("source_node_uuid"),
+        F.concat(F.lit("n"), F.col("s_nationkey")).alias("target_node_uuid"),
+    ).dropDuplicates(["source_node_uuid", "target_node_uuid"])
+    # undirected: the supplier->nation graph has no directed 2-hop paths, so
+    # the reference's directed default would be vacuously all-zero here
+    out = betweenness_centrality(edges, sample_size=50, max_depth=10, directed=False)
+    return out.select("uuid", F.round("betweenness", 6).alias("betweenness"))
+
+
 def _q_bfs_2hop(spark, sf_dir):
     from graphiti_spark.analytics.search import bfs_nodes
 
@@ -516,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_2hop": _q_bfs_2hop,
         # --- graph algorithms (SURVEY §2.5) ---
         "degree_centrality": _q_degree_centrality,
+        "betweenness_centrality": _q_betweenness,
         "connected_components": _q_connected_components,
         # --- dedup family (training-data ops) ---
         "exact_dedup": _q_exact_dedup,
@@ -795,6 +810,33 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(i.c, 0) AS in_degree,
                    coalesce(o.c, 0) + coalesce(i.c, 0) AS degree
             FROM outd o FULL JOIN ind i ON o.id = i.id
+        """,
+        "betweenness_centrality": """
+            WITH RECURSIVE
+            e AS (SELECT DISTINCT 's' || s_suppkey AS u, 'n' || s_nationkey AS v FROM supplier),
+            bid AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            nds AS (SELECT DISTINCT u AS uuid FROM bid),
+            sample AS (SELECT uuid FROM nds ORDER BY uuid LIMIT 50),
+            msz AS (SELECT count(*) AS m FROM sample),
+            reach(s, v, d) AS (
+              SELECT uuid, uuid, 0 FROM sample
+              UNION
+              SELECT r.s, b.v, r.d + 1 FROM reach r JOIN bid b ON r.v = b.u WHERE r.d < 10
+            ),
+            dist AS (SELECT s, v, min(d) AS d FROM reach GROUP BY s, v),
+            apsp AS (SELECT dist.s, dist.v AS t, dist.d FROM dist JOIN sample ON dist.v = sample.uuid),
+            st AS (SELECT s, t, d AS d_st FROM apsp WHERE d >= 2 AND s <> t),
+            cred AS (
+              SELECT su.t AS uuid, count(*) AS raw
+              FROM st
+              JOIN apsp su ON su.s = st.s AND su.t <> st.s AND su.t <> st.t
+              JOIN apsp ut ON ut.s = su.t AND ut.t = st.t
+              WHERE su.d + ut.d = st.d_st
+              GROUP BY su.t
+            )
+            SELECT n.uuid,
+                   round(coalesce(cred.raw * (2.0 / ((msz.m - 1) * (msz.m - 2))), 0.0), 6) AS betweenness
+            FROM nds n CROSS JOIN msz LEFT JOIN cred ON n.uuid = cred.uuid
         """,
         "bfs_2hop": """
             WITH e AS (SELECT DISTINCT 's' || l_suppkey AS u, 'p' || l_partkey AS v FROM lineitem),

@@ -83,22 +83,65 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
         # Dangling nodes (no out-edges) leak rank; redistribute uniformly.
-        dangling = (
+        # The 1-row dangling aggregate is broadcast-crossJoined into the rank
+        # update instead of collect()ed — each iteration is ONE Spark job
+        # (the collect added a driver barrier per iteration: 20 extra jobs,
+        # pure serial time under Amdahl at scale).
+        dangling_df = (
             ranks.join(out_deg.withColumnRenamed("src", "uuid"), "uuid", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         ranks = (
             nodes.join(contribs, "uuid", "left")
+            .crossJoin(F.broadcast(dangling_df))
             .withColumn(
                 "rank",
                 F.lit(base)
-                + F.lit(damping) * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n)),
+                + F.lit(damping)
+                * (F.coalesce("contrib", F.lit(0.0)) + F.col("_dangling") / F.lit(float(n))),
             )
-            .drop("contrib")
+            .drop("contrib", "_dangling")
             .localCheckpoint(eager=True)
         )
     return ranks.withColumnRenamed("rank", "pagerank")
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    sources: list[str],
+    max_depth: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Shortest-hop distances from every source at once: (source, uuid, depth).
+
+    ALL frontiers advance together, keyed by (source, uuid) — one DataFrame
+    loop of <= max_depth iterations total (<= max_depth shuffles), instead of
+    a sequential per-source driver loop (the round-1 anti-pattern: 50 sources
+    x ~10 depths x 2-3 actions each => >1,000 serial Spark jobs).
+    """
+    spark = edges.sparkSession
+    g = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    dist = spark.createDataFrame(
+        [(s, s, 0) for s in sources], "source string, uuid string, depth int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            g.join(
+                F.broadcast(frontier.select("source", F.col("uuid").alias("src"))), "src"
+            )
+            .select("source", F.col("dst").alias("uuid"))
+            .dropDuplicates(["source", "uuid"])
+            .join(dist.select("source", "uuid"), ["source", "uuid"], "left_anti")
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
 
 
 def betweenness_centrality(
@@ -107,62 +150,69 @@ def betweenness_centrality(
     dst_col: str = "target_node_uuid",
     sample_size: int = 50,
     max_depth: int = 10,
+    directed: bool = True,
 ) -> DataFrame:
-    """Sampled betweenness (centrality_operations.py:234-329): BFS from <=50
-    lexicographically-first nodes (deterministic sample), count how often each
-    node sits on a shortest path (intermediate hop), normalize by
-    2/((n-1)(n-2)) scaled by n/sample.
+    """Sampled betweenness with the reference's path-credit rule
+    (centrality_operations.py:234-329): take <= ``sample_size`` nodes
+    (deterministic: lexicographically first), find shortest paths of length
+    <= 10 between every ordered sampled pair (s, t), credit each SAMPLED
+    intermediate node u on a shortest path with +1 per (s, t) pair
+    (:305-320 credits path_nodes[1:-1] filtered to the sampled dict), and
+    normalize by 2/((m-1)(m-2)) with m = sample size (:322-326).
 
-    Approximation matches the reference's own approximation (it also samples
-    and caps path length) rather than exact Brandes.
+    Deterministic restatement: the reference credits the intermediates of the
+    single (engine-chosen, unstable) path FalkorDB returns; here u is
+    credited iff dist(s,u) + dist(u,t) == dist(s,t) — membership in ANY
+    shortest path. Same rule both here and in the DuckDB oracle.
+
+    ``directed=True`` matches the reference's directed traversal
+    (``(source)-[*..10]->(target)``); ``directed=False`` treats edges as
+    undirected (useful for bipartite graphs where directed paths have no
+    intermediates).
+
+    Cost shape: ONE multi-source BFS (<= max_depth shuffle rounds for all
+    sources together); the credit join runs on the m x m sampled-pair
+    distance table (tiny).
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
-    bidir = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    bidir = bidir.localCheckpoint(eager=True)
-    nodes = bidir.select(F.col("src").alias("uuid")).dropDuplicates(["uuid"]).localCheckpoint(True)
-    n = nodes.count()
-    if n < 3:
+    g = e if directed else e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    g = g.localCheckpoint(eager=True)
+    nodes = (
+        g.select(F.col("src").alias("uuid"))
+        .unionByName(g.select(F.col("dst").alias("uuid")))
+        .dropDuplicates(["uuid"])
+        .localCheckpoint(eager=True)
+    )
+    sample = [r["uuid"] for r in nodes.orderBy("uuid").limit(sample_size).collect()]
+    m = len(sample)
+    if m < 3:
         return nodes.withColumn("betweenness", F.lit(0.0))
-    sources = [r["uuid"] for r in nodes.orderBy("uuid").limit(sample_size).collect()]
-    spark = edges.sparkSession
-    # parent-count BFS: layer by layer, track (node, depth, n_paths).
-    total = None
-    for s in sources:
-        layer = spark.createDataFrame([(s, 0, 1)], "uuid string, depth int, paths long")
-        seen = layer
-        for depth in range(1, max_depth + 1):
-            frontier = layer.select(F.col("uuid").alias("src"), "paths")
-            nxt = (
-                bidir.join(F.broadcast(frontier), "src")
-                .groupBy(F.col("dst").alias("uuid"))
-                .agg(F.sum("paths").alias("paths"))
-                .join(seen.select("uuid"), "uuid", "left_anti")
-                .withColumn("depth", F.lit(depth))
-                .select("uuid", "depth", "paths")
-                .localCheckpoint(eager=True)
-            )
-            if nxt.isEmpty():
-                break
-            seen = seen.unionByName(nxt).localCheckpoint(eager=True)
-            layer = nxt
-        # Every non-endpoint node on a shortest path from s to some t at
-        # depth d is counted once per (s, t) pair it mediates; approximate by
-        # crediting interior nodes (0 < depth < max reached) with their path
-        # share — the reference similarly counts intermediate hops (:305-320).
-        interior = seen.filter((F.col("depth") > 0)).select("uuid", "paths", "depth")
-        maxd = interior.agg(F.coalesce(F.max("depth"), F.lit(0))).collect()[0][0]
-        credit = interior.filter(F.col("depth") < maxd).select(
-            "uuid", F.col("paths").cast("double").alias("credit")
-        )
-        total = credit if total is None else total.unionByName(credit)
-    if total is None:
-        return nodes.withColumn("betweenness", F.lit(0.0))
-    agg = total.groupBy("uuid").agg(F.sum("credit").alias("raw"))
-    norm = 2.0 / ((n - 1) * (n - 2)) * (n / max(len(sources), 1))
-    scored = agg.withColumn("betweenness", F.col("raw") * F.lit(norm)).drop("raw")
+    dist = multi_source_bfs(g, sample, max_depth)
+    # distances between sampled nodes only: m x m rows
+    apsp = dist.join(
+        F.broadcast(nodes.sparkSession.createDataFrame([(s,) for s in sample], "uuid string")),
+        "uuid",
+    ).localCheckpoint(eager=True)
+    st = apsp.filter((F.col("depth") >= 2) & (F.col("source") != F.col("uuid"))).select(
+        F.col("source").alias("s"), F.col("uuid").alias("t"), F.col("depth").alias("d_st")
+    )
+    su = apsp.select(F.col("source").alias("s"), F.col("uuid").alias("u"), F.col("depth").alias("d_su"))
+    ut = apsp.select(F.col("source").alias("u"), F.col("uuid").alias("t"), F.col("depth").alias("d_ut"))
+    credit = (
+        st.join(su, "s")
+        .filter((F.col("u") != F.col("s")) & (F.col("u") != F.col("t")))
+        .join(ut, ["u", "t"])
+        .filter(F.col("d_su") + F.col("d_ut") == F.col("d_st"))
+        .groupBy(F.col("u").alias("uuid"))
+        .agg(F.count(F.lit(1)).cast("double").alias("raw"))
+    )
+    norm = 2.0 / ((m - 1) * (m - 2))
+    scored = credit.withColumn("betweenness", F.col("raw") * F.lit(norm)).drop("raw")
     return (
         nodes.join(scored, "uuid", "left")
         .withColumn("betweenness", F.coalesce("betweenness", F.lit(0.0)))
