@@ -16,10 +16,16 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import warnings
+
 from graphiti_spark.analytics.search import (
     bfs_edges,
+    bfs_nodes,
+    cross_encoder_rerank,
+    episode_mentions_rerank,
     fulltext_search,
     maximal_marginal_relevance,
+    node_distance_rerank,
     rrf,
     similarity_search,
 )
@@ -56,6 +62,7 @@ def _run_methods(
     min_score: float,
     bfs_origins: list[str] | None,
     edges_for_bfs: DataFrame | None,
+    bfs_scope: str = "edges",
 ) -> list[DataFrame]:
     out = []
     for m in methods:
@@ -66,10 +73,32 @@ def _run_methods(
                 similarity_search(table, id_col, emb_col, qvec, min_score=min_score, limit=overfetch)
             )
         elif m == SearchMethod.bfs and bfs_origins and edges_for_bfs is not None:
-            reach = bfs_edges(edges_for_bfs, bfs_origins, max_depth=3)
-            out.append(
-                reach.select(F.col("uuid").alias(id_col)).withColumn("score", F.lit(1.0)).limit(overfetch)
-            )
+            # scope-aware: the node legs take node uuids from node_bfs_search
+            # (search_utils.py:451-486), the edge legs edge uuids from
+            # edge_bfs_search (:283-334); both deterministically ordered
+            # before the over-fetch limit.
+            if bfs_scope == "nodes":
+                reach = bfs_nodes(edges_for_bfs, bfs_origins, max_depth=3)
+                out.append(
+                    reach.select(
+                        F.col("uuid").alias(id_col),
+                        (F.lit(1.0) / (F.lit(1.0) + F.col("depth"))).alias("score"),
+                    )
+                    # a leg returns rows of the searched table only — BFS over
+                    # the edge graph can reach uuids filtered out of (or never
+                    # in) the node table
+                    .join(table.select(id_col), id_col, "left_semi")
+                    .orderBy(F.desc("score"), F.asc(id_col))
+                    .limit(overfetch)
+                )
+            else:
+                reach = bfs_edges(edges_for_bfs, bfs_origins, max_depth=3)
+                out.append(
+                    reach.select(F.col("uuid").alias(id_col))
+                    .withColumn("score", F.lit(1.0))
+                    .orderBy(F.asc(id_col))
+                    .limit(overfetch)
+                )
     return out
 
 
@@ -82,17 +111,42 @@ def _rerank(
     qvec: list[float],
     limit: int,
     config=DEFAULT_CONFIG,
+    text_col: str | None = None,
+    query: str = "",
+    edges: DataFrame | None = None,
+    mentions: DataFrame | None = None,
+    center_uuid: str | None = None,
 ) -> list:
     if not ranked:
         return []
     fused = rrf(ranked, id_col, rank_const=config.rrf_rank_const)
-    if reranker in (Reranker.rrf, Reranker.cross_encoder, Reranker.episode_mentions, Reranker.node_distance):
-        # cross_encoder needs an external model (stubbed: falls back to RRF,
-        # mirroring the reference's USE_RUST_SEARCH=off fallback);
-        # node_distance / episode_mentions need a center/mentions context the
-        # caller applies via analytics.search rerankers on the fused frame.
-        return [r[id_col] for r in fused.limit(limit).collect()]
-    if reranker == Reranker.mmr and emb_col and emb_col in table.columns:
+    if reranker == Reranker.node_distance:
+        if edges is not None and center_uuid:
+            out = node_distance_rerank(fused, edges, center_uuid, id_col)
+            return [r[id_col] for r in out.limit(limit).collect()]
+        warnings.warn(
+            "node_distance reranker needs edges + bfs_origin_uuids (center); "
+            "falling back to RRF order",
+            stacklevel=2,
+        )
+    elif reranker == Reranker.episode_mentions:
+        if mentions is not None:
+            out = episode_mentions_rerank(fused, mentions, id_col)
+            return [r[id_col] for r in out.limit(limit).collect()]
+        warnings.warn(
+            "episode_mentions reranker needs a mentions DataFrame (pass "
+            "search(..., mentions=...)); falling back to RRF order",
+            stacklevel=2,
+        )
+    elif reranker == Reranker.cross_encoder:
+        if text_col and text_col in table.columns:
+            out = cross_encoder_rerank(fused, table, id_col, text_col, query)
+            return [r[id_col] for r in out.limit(limit).collect()]
+        warnings.warn(
+            "cross_encoder reranker needs a text column; falling back to RRF order",
+            stacklevel=2,
+        )
+    elif reranker == Reranker.mmr and emb_col and emb_col in table.columns:
         top = fused.limit(limit * config.overfetch_factor)
         cands = (
             top.join(table.select(F.col(id_col), F.col(emb_col)), id_col)
@@ -113,13 +167,18 @@ def search(
     communities: DataFrame | None = None,
     filters: SearchFilters | None = None,
     bfs_origin_uuids: list[str] | None = None,
+    mentions: DataFrame | None = None,
 ) -> SearchResults:
     """Fan out the configured searches; return uuid lists per scope.
 
     Query embedded ONCE with the deterministic hashed-ngram embedder
-    (search.py:128-132 embeds once with the external model)."""
+    (search.py:128-132 embeds once with the external model).
+
+    ``mentions``: entity-mention table powering the episode_mentions
+    reranker; ``bfs_origin_uuids[0]`` is the center for node_distance."""
     qvec = hashed_ngram_embedding_py(query)
     over = config.limit * DEFAULT_CONFIG.overfetch_factor
+    center = bfs_origin_uuids[0] if bfs_origin_uuids else None
     results = SearchResults()
 
     if config.edge_config and edges is not None:
@@ -127,24 +186,32 @@ def search(
         ranked = _run_methods(
             t, "uuid", "fact", "fact_embedding", config.edge_config.search_methods,
             query, qvec, over, config.edge_config.min_score, bfs_origin_uuids, edges,
+            bfs_scope="edges",
         )
         results.edges = _rerank(ranked, t, "uuid", "fact_embedding",
-                                config.edge_config.reranker, qvec, config.limit)
+                                config.edge_config.reranker, qvec, config.limit,
+                                text_col="fact", query=query, edges=edges,
+                                mentions=mentions, center_uuid=center)
     if config.node_config and nodes is not None:
         t = apply_search_filters(nodes, filters) if filters else nodes
         ranked = _run_methods(
             t, "uuid", "name", "name_embedding", config.node_config.search_methods,
             query, qvec, over, config.node_config.min_score, bfs_origin_uuids, edges,
+            bfs_scope="nodes",
         )
         results.nodes = _rerank(ranked, t, "uuid", "name_embedding",
-                                config.node_config.reranker, qvec, config.limit)
+                                config.node_config.reranker, qvec, config.limit,
+                                text_col="name", query=query, edges=edges,
+                                mentions=mentions, center_uuid=center)
     if config.episode_config and episodes is not None:
         ranked = _run_methods(
             episodes, "uuid", "content", None, config.episode_config.search_methods,
             query, qvec, over, 0.0, None, None,
         )
         results.episodes = _rerank(ranked, episodes, "uuid", None,
-                                   config.episode_config.reranker, qvec, config.limit)
+                                   config.episode_config.reranker, qvec, config.limit,
+                                   text_col="content", query=query,
+                                   mentions=mentions, center_uuid=center)
     if config.community_config and communities is not None:
         ranked = _run_methods(
             communities, "uuid", "summary", "name_embedding",
@@ -152,5 +219,7 @@ def search(
             config.community_config.min_score, None, None,
         )
         results.communities = _rerank(ranked, communities, "uuid", "name_embedding",
-                                      config.community_config.reranker, qvec, config.limit)
+                                      config.community_config.reranker, qvec, config.limit,
+                                      text_col="summary", query=query,
+                                      mentions=mentions, center_uuid=center)
     return results

@@ -275,6 +275,47 @@ def episode_mentions_rerank(
     return out.orderBy(F.desc("mention_score"), F.asc(id_col))
 
 
+def cross_encoder_rerank(
+    results: DataFrame,
+    table: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+) -> DataFrame:
+    """Deterministic cross-encoder STAND-IN.
+
+    The reference reranks (query, passage) pairs through an external
+    cross-encoder model (search.py:261-266; cross_encoder/client.py). No
+    model runs in this sandbox, so the stand-in scores each pair by
+    query-token coverage: |query_tokens ∩ passage_tokens| / |query_tokens|,
+    tie-broken by the fused upstream score then id — an explicit, tested
+    pairwise scorer rather than a silent fallback to RRF. Swap this for a
+    real model by replacing the score column with a Pandas-UDF model call
+    (same (results ⋈ text) -> score -> sort shape).
+    """
+    q_toks = sorted({t for t in query.lower().split() if t})
+    if not q_toks:
+        return results
+    overlap = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens_col(text_col)),
+            F.array(*[F.lit(t) for t in q_toks]),
+        )
+    )
+    scored = results.join(table.select(F.col(id_col), F.col(text_col)), id_col, "left")
+    scored = scored.withColumn(
+        "ce_score",
+        F.when(F.col(text_col).isNull(), F.lit(0.0)).otherwise(
+            overlap.cast("double") / F.lit(float(len(q_toks)))
+        ),
+    ).drop(text_col)
+    order = [F.desc("ce_score")]
+    if "rrf_score" in scored.columns:
+        order.append(F.desc("rrf_score"))
+    order.append(F.asc(id_col))
+    return scored.orderBy(*order)
+
+
 def maximal_marginal_relevance(
     candidates: list[tuple[str, list[float]]],
     query_vector: list[float],

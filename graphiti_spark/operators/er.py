@@ -60,18 +60,23 @@ _SCORE_SCHEMA = StructType(
 )
 
 
-@F.pandas_udf(_SCORE_SCHEMA)
-def score_pair_udf(
-    norm_a: pd.Series, norm_b: pd.Series, emb_a: pd.Series, emb_b: pd.Series
-) -> pd.DataFrame:
-    """ALL pair scores in one Arrow batch.
+def make_score_pair_udf(config: PipelineConfig = DEFAULT_CONFIG):
+    """Build the Arrow-batched pair scorer with gates DERIVED from config.
 
     Why one UDF instead of column expressions: Spark's higher-order functions
     (zip_with/aggregate for cosine, array_intersect for Jaccard) are
     interpreted per element — measured 130s + 51s for 7.2M x 64-dim pairs vs
     ~2s for a numpy einsum. One UDF = one Arrow transfer, vectorized dot,
-    and difflib gated INSIDE the batch by the length-ratio bound
-    (ratio >= t  =>  min/max(len) >= t/(2-t), see score_and_filter_pairs).
+    and difflib gated INSIDE the batch by the length-ratio bound.
+
+    The gate is sound, not heuristic: SequenceMatcher.ratio(a, b) =
+    2*matches/(len(a)+len(b)) <= 2*min/(min+max), so ratio >= t requires
+    min/max >= t/(2-t). difflib therefore runs only when one of the two
+    acceptance rules that read `fuzzy` (score_and_filter_pairs) could still
+    fire: ratio bound for fuzzy >= fuzzy_threshold, or (cosine >=
+    maintenance_embedding_threshold AND ratio bound for fuzzy >=
+    node_min_score). Constants come from the SAME config the acceptance
+    filter uses — a lowered threshold loosens the gate with it.
 
     Semantics identical to the reference scorers:
      - token Jaccard over '_'-token sets       (uuid_utils.py:158-196)
@@ -80,42 +85,52 @@ def score_pair_udf(
      - compound-name guard: one token set strictly contains the other
        (maintenance_dedupe_entities.py:139-158)
     """
-    import numpy as np
+    lr_fuzzy = config.fuzzy_threshold / (2.0 - config.fuzzy_threshold)
+    lr_min = config.node_min_score / (2.0 - config.node_min_score)
+    cos_gate = config.maintenance_embedding_threshold
 
-    a_list = [x or "" for x in norm_a]
-    b_list = [x or "" for x in norm_b]
-    va = np.array([np.asarray(v, dtype=np.float64) for v in emb_a])
-    vb = np.array([np.asarray(v, dtype=np.float64) for v in emb_b])
-    cos = np.einsum("ij,ij->i", va, vb) if len(va) else np.zeros(0)
+    @F.pandas_udf(_SCORE_SCHEMA)
+    def score_pair_udf(
+        norm_a: pd.Series, norm_b: pd.Series, emb_a: pd.Series, emb_b: pd.Series
+    ) -> pd.DataFrame:
+        import numpy as np
 
-    n = len(a_list)
-    jac = np.zeros(n)
-    fuzzy = np.zeros(n)
-    guard = np.empty(n, dtype=bool)
-    multi = np.empty(n, dtype=bool)
-    for i in range(n):
-        a, b = a_list[i], b_list[i]
-        ta, tb = set(a.split("_")), set(b.split("_"))
-        inter = len(ta & tb)
-        union = len(ta | tb)
-        jac[i] = inter / union if union else 0.0
-        guard[i] = not ((ta < tb) or (tb < ta))
-        multi[i] = len(ta) > 1 and len(tb) > 1
-        la, lb = len(a), len(b)
-        if la and lb:
-            ratio = min(la, lb) / max(la, lb)
-            # difflib only when an acceptance rule could still need it
-            if (ratio >= 0.818 and cos[i] >= 0.35) or (cos[i] >= 0.92 and ratio >= 0.667):
-                fuzzy[i] = difflib.SequenceMatcher(None, a, b).ratio()
-    return pd.DataFrame(
-        {
-            "token_jaccard": jac,
-            "cosine": cos,
-            "fuzzy": fuzzy,
-            "compound_guard": guard,
-            "multi_word": multi,
-        }
-    )
+        a_list = [x or "" for x in norm_a]
+        b_list = [x or "" for x in norm_b]
+        va = np.array([np.asarray(v, dtype=np.float64) for v in emb_a])
+        vb = np.array([np.asarray(v, dtype=np.float64) for v in emb_b])
+        cos = np.einsum("ij,ij->i", va, vb) if len(va) else np.zeros(0)
+
+        n = len(a_list)
+        jac = np.zeros(n)
+        fuzzy = np.zeros(n)
+        guard = np.empty(n, dtype=bool)
+        multi = np.empty(n, dtype=bool)
+        for i in range(n):
+            a, b = a_list[i], b_list[i]
+            ta, tb = set(a.split("_")), set(b.split("_"))
+            inter = len(ta & tb)
+            union = len(ta | tb)
+            jac[i] = inter / union if union else 0.0
+            guard[i] = not ((ta < tb) or (tb < ta))
+            multi[i] = len(ta) > 1 and len(tb) > 1
+            la, lb = len(a), len(b)
+            if la and lb:
+                ratio = min(la, lb) / max(la, lb)
+                # difflib only when an acceptance rule could still need it
+                if ratio >= lr_fuzzy or (cos[i] >= cos_gate and ratio >= lr_min):
+                    fuzzy[i] = difflib.SequenceMatcher(None, a, b).ratio()
+        return pd.DataFrame(
+            {
+                "token_jaccard": jac,
+                "cosine": cos,
+                "fuzzy": fuzzy,
+                "compound_guard": guard,
+                "multi_word": multi,
+            }
+        )
+
+    return score_pair_udf
 
 
 def _char_ngrams_col(c, n: int):
@@ -269,11 +284,12 @@ def score_and_filter_pairs(
     )
     # ONE Arrow-batched scoring pass over the candidate pairs: numpy dot
     # (embeddings are L2-normalized, so cosine == dot), Python-set Jaccard +
-    # compound guard, and difflib gated inside the batch by the length-ratio
-    # bound (ratio >= t => min/max(len) >= t/(2-t): 0.9 -> 0.818, 0.8 ->
-    # 0.667). The previous pure-Column version paid 130s of interpreted
-    # zip_with/aggregate cosine + 51s of array_intersect Jaccard on 7.2M
-    # pairs; this is one Arrow transfer and seconds of numpy.
+    # compound guard, and difflib gated inside the batch by config-derived
+    # length-ratio bounds (see make_score_pair_udf). The previous pure-Column
+    # version paid 130s of interpreted zip_with/aggregate cosine + 51s of
+    # array_intersect Jaccard on 7.2M pairs; this is one Arrow transfer and
+    # seconds of numpy.
+    score_pair_udf = make_score_pair_udf(config)
     scored = j.select(
         "group_id",
         "uuid_a",

@@ -94,13 +94,26 @@ def write_salted(
     hot_key_col: str,
     salt_buckets: int = 16,
     partition_by: list[str] | None = None,
+    unique_id_col: str | None = None,
 ) -> None:
     """Materialize with salted repartitioning on a high-degree key column
     (north rule: defeat skew on hot entities). The salt spreads a hot key's
-    rows over `salt_buckets` shuffle partitions; file layout is unchanged."""
-    salted = df.repartition(
-        F.concat(F.col(hot_key_col), F.lit("#"), F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets)))
-    )
+    rows over `salt_buckets` shuffle partitions; file layout is unchanged.
+
+    The salt MUST be a deterministic function of row content: a salt derived
+    from monotonically_increasing_id/rand changes on task retry, which can
+    duplicate or drop rows when a shuffle-map task is recomputed (the
+    SPARK-23207 round-robin-repartition hazard). Salt on ``unique_id_col``
+    when the table has one (matches StageLedger.materialize); otherwise on a
+    crc32 of the whole row."""
+    if unique_id_col is not None:
+        salt = F.pmod(F.crc32(F.col(unique_id_col).cast("string")), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(
+            F.crc32(F.to_json(F.struct(*[F.col(c) for c in df.columns]))),
+            F.lit(salt_buckets),
+        )
+    salted = df.repartition(F.concat(F.col(hot_key_col), F.lit("#"), salt))
     writer = salted.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -72,12 +72,16 @@ def start_ingest(
     config: PipelineConfig = DEFAULT_CONFIG,
     trigger_available_now: bool = True,
 ):
-    """Start the incremental ingest: appends episodes/mentions/triples
+    """Start the incremental ingest: writes episodes/mentions/triples
     parquet under output_dir with a checkpoint (resume-safe).
 
-    foreachBatch keeps the three outputs consistent per micro-batch (one
-    epoch writes all three or none on restart-replay) — the transactional
-    bulk-save analog (bulk_utils.py:88-230).
+    Delivery: at-least-once from the file source, made IDEMPOTENT by layout —
+    each output is partitioned by ``_epoch`` and written with dynamic
+    partition overwrite, so a replayed epoch (restart between the three
+    writes) rewrites exactly its own partitions instead of appending
+    duplicates. The three tables therefore converge to one copy per epoch —
+    the effectively-once analog of the reference's transactional bulk save
+    (bulk_utils.py:88-230) without requiring an atomic multi-table commit.
     """
     pages = read_pages_stream(spark, pages_dir)
 
@@ -85,15 +89,14 @@ def start_ingest(
         episodes = episodes_stage(extract_text_stage(batch_df), config).persist()
         mentions = mentions_stage(episodes)
         triples = triples_stage(episodes)
-        episodes.withColumn("_epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            f"{output_dir}/episodes"
-        )
-        mentions.withColumn("_epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            f"{output_dir}/mentions"
-        )
-        triples.withColumn("_epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            f"{output_dir}/triples"
-        )
+        for name, df in (("episodes", episodes), ("mentions", mentions), ("triples", triples)):
+            (
+                df.withColumn("_epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch")
+                .parquet(f"{output_dir}/{name}")
+            )
         episodes.unpersist()
 
     writer = (

@@ -159,3 +159,87 @@ def test_search_orchestrator_end_to_end(spark):
     assert res.nodes
     res2 = search("alice acme", EDGE_HYBRID_SEARCH_RRF, edges=edges)
     assert res2.edges and not res2.nodes
+
+
+def test_orchestrator_rerankers_per_enum(spark):
+    """Each Reranker enum value takes its own path (VERDICT r1 #8):
+    node_distance pulls adjacent-to-center first, episode_mentions ranks by
+    mention counts, cross_encoder by query-token coverage, mmr diversifies."""
+    from graphiti_spark.analytics.search_config import (
+        NODE_HYBRID_SEARCH_NODE_DISTANCE,
+        NODE_HYBRID_SEARCH_EPISODE_MENTIONS,
+        NODE_HYBRID_SEARCH_CROSS_ENCODER,
+        NODE_HYBRID_SEARCH_MMR,
+    )
+
+    nodes = spark.createDataFrame(
+        [
+            ("n1", "alpha common", _emb("alpha common")),
+            ("n2", "beta common", _emb("beta common")),
+            ("n3", "gamma common", _emb("gamma common")),
+        ],
+        "uuid string, name string, name_embedding array<float>",
+    )
+    edges = spark.createDataFrame(
+        [("e1", "center", "n3", "center links gamma", _emb("center links gamma"))],
+        "uuid string, source_node_uuid string, target_node_uuid string, fact string, fact_embedding array<float>",
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "n2"), ("m2", "n2"), ("m3", "n1")],
+        "uuid string, entity_uuid string",
+    )
+
+    # node_distance: n3 is adjacent to the center -> first
+    res = search(
+        "common", NODE_HYBRID_SEARCH_NODE_DISTANCE, edges=edges, nodes=nodes,
+        bfs_origin_uuids=["center"],
+    )
+    assert res.nodes and res.nodes[0] == "n3"
+
+    # episode_mentions: n2 has the most mentions -> first
+    res = search(
+        "common", NODE_HYBRID_SEARCH_EPISODE_MENTIONS, edges=edges, nodes=nodes,
+        mentions=mentions,
+    )
+    assert res.nodes and res.nodes[0] == "n2"
+
+    # cross_encoder stand-in: full query coverage wins
+    res = search("beta common", NODE_HYBRID_SEARCH_CROSS_ENCODER, edges=edges, nodes=nodes)
+    assert res.nodes and res.nodes[0] == "n2"
+
+    # mmr: runs and returns a permutation of candidates
+    res = search("common", NODE_HYBRID_SEARCH_MMR, edges=edges, nodes=nodes)
+    assert set(res.nodes) <= {"n1", "n2", "n3"} and res.nodes
+
+    # missing context -> explicit warning + RRF fallback, not silence
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        res = search("common", NODE_HYBRID_SEARCH_EPISODE_MENTIONS, edges=edges, nodes=nodes)
+        assert res.nodes
+        assert any("episode_mentions" in str(x.message) for x in caught)
+
+
+def test_orchestrator_bfs_node_scope(spark):
+    """Node-scope BFS legs emit NODE uuids (search_utils.py:451-486), not
+    edge uuids (ADVICE r1)."""
+    from graphiti_spark.analytics.search_config import (
+        NodeSearchConfig,
+        SearchConfig,
+        SearchMethod,
+        Reranker,
+    )
+
+    edges = spark.createDataFrame(
+        [("e1", "a", "b", "a to b", _emb("a to b")), ("e2", "b", "c", "b to c", _emb("b to c"))],
+        "uuid string, source_node_uuid string, target_node_uuid string, fact string, fact_embedding array<float>",
+    )
+    nodes = spark.createDataFrame(
+        [("a", "node a", _emb("node a")), ("b", "node b", _emb("node b")), ("c", "node c", _emb("node c"))],
+        "uuid string, name string, name_embedding array<float>",
+    )
+    cfg = SearchConfig(node_config=NodeSearchConfig([SearchMethod.bfs], Reranker.rrf))
+    res = search("anything", cfg, edges=edges, nodes=nodes, bfs_origin_uuids=["a"])
+    assert set(res.nodes) <= {"a", "b", "c"}
+    assert "b" in res.nodes  # 1-hop neighbor reached, as a node uuid
