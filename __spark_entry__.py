@@ -231,6 +231,40 @@ def _q_kg_search_hybrid(spark, sf_dir):
     return hybrid_search(docs, "uuid", "content", "embedding", "spark merge join", qvec, limit=10)
 
 
+def _q_kg_message_edges(spark, sf_dir):
+    """Full pipeline over a message-source (EpisodeType.message) corpus:
+    speaker-first extraction + pronoun-to-speaker triples, then the same
+    ER/CC/merge stages. Hard-verified against a pinned golden."""
+    from graphiti_spark.plans.pipeline import run_pipeline
+    from graphiti_spark.synth import typed_pages_from_documents
+
+    pages = typed_pages_from_documents(spark, sf_dir, "message")
+    out = run_pipeline(spark, pages)
+    return out["edges"].select(
+        "uuid",
+        "group_id",
+        "source_node_uuid",
+        "name",
+        "target_node_uuid",
+        "fact",
+        F.unix_micros("valid_at").alias("valid_us"),
+        F.unix_micros("invalid_at").alias("invalid_us"),
+    )
+
+
+def _q_kg_json_edges(spark, sf_dir):
+    """Full pipeline over a json-source (EpisodeType.json) corpus: field
+    flatten extraction. Hard-verified against a pinned golden."""
+    from graphiti_spark.plans.pipeline import run_pipeline
+    from graphiti_spark.synth import typed_pages_from_documents
+
+    pages = typed_pages_from_documents(spark, sf_dir, "json")
+    out = run_pipeline(spark, pages)
+    return out["edges"].select(
+        "uuid", "group_id", "source_node_uuid", "name", "target_node_uuid", "fact"
+    )
+
+
 def _q_episodes_asof(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -518,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_communities": _q_kg_communities,
         "kg_search_hybrid": _q_kg_search_hybrid,
+        "kg_message_edges": _q_kg_message_edges,
+        "kg_json_edges": _q_kg_json_edges,
         # --- scans / windows / merge policy (SURVEY §2.1, §2.6) ---
         "episodes_asof": _q_episodes_asof,
         "episode_context_window": _q_episode_context_window,
@@ -580,6 +616,8 @@ def oracle_sql() -> dict[str, str]:
             "kg_pagerank",
             "kg_communities",
             "kg_search_hybrid",
+            "kg_message_edges",
+            "kg_json_edges",
         )
     }
     lang_score = lambda words: f"len(list_filter({_TOKS}, t -> t IN ({words})))"

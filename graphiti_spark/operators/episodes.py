@@ -44,12 +44,25 @@ def episodes_stage(pages: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) ->
     """
     created_at = F.to_timestamp(F.lit(config.created_at_iso))
     name = page_title_col("html")
+    # EpisodeType is a per-row property (nodes.py:55-77): inputs that carry a
+    # `source` column (message/json corpora) keep it; html page corpora
+    # default to 'text'. Downstream NER/triple stages dispatch on it.
+    source = (
+        F.coalesce(F.col("source"), F.lit("text"))
+        if "source" in pages.columns
+        else F.lit("text")
+    )
+    source_desc = (
+        F.coalesce(F.col("source_description"), F.lit("common-crawl page"))
+        if "source_description" in pages.columns
+        else F.lit("common-crawl page")
+    )
     return pages.select(
         episode_uuid_udf(F.col("url")).alias("uuid"),
         F.when(name == "", F.col("url")).otherwise(name).alias("name"),
         group_id_col("url").alias("group_id"),
-        F.lit("text").alias("source"),
-        F.lit("common-crawl page").alias("source_description"),
+        source.alias("source"),
+        source_desc.alias("source_description"),
         F.substring(F.col("text"), 1, config.max_episode_content_len).alias("content"),
         F.col("valid_at") if "valid_at" in pages.columns else F.col("warc_ts").alias("valid_at"),
         created_at.alias("created_at"),

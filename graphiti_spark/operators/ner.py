@@ -126,6 +126,104 @@ def extract_mentions_py(text: str) -> list[tuple[str, int, int]]:
     return mentions
 
 
+_SPEAKER_RE = re.compile(r"^\s*([A-Za-z][A-Za-z0-9_ .'-]{0,63}?)\s*:\s*(.*)$")
+_ISO_DATEISH = re.compile(r"^\d{4}(-\d{2}(-\d{2})?)?([ T].*)?$")
+_URLISH = re.compile(r"^\w+://")
+
+
+def split_messages(text: str) -> list[tuple[int, str, int, str]]:
+    """Per line: (speaker_offset, speaker, utterance_offset, utterance).
+
+    EpisodeType.message content is '<actor>: <content>' lines
+    (/root/reference/graphiti_core/nodes.py:55-77). Lines without a speaker
+    prefix are treated as continuation text with no speaker.
+    """
+    out = []
+    pos = 0
+    for line in text.split("\n"):
+        m = _SPEAKER_RE.match(line)
+        if m:
+            out.append((pos + m.start(1), m.group(1), pos + m.start(2), m.group(2)))
+        elif line.strip():
+            out.append((-1, "", pos, line))
+        pos += len(line) + 1
+    return out
+
+
+def extract_mentions_message_py(text: str) -> list[tuple[str, int, int]]:
+    """Message-source extraction (speaker-first rule,
+    prompts/extract_nodes.py:96): the dialogue actor before the ':' is
+    always extracted as an entity, then the utterance body goes through the
+    standard recognizer. Deterministic function of the text."""
+    mentions: list[tuple[str, int, int]] = []
+    if not text:
+        return mentions
+    for sp_off, speaker, utt_off, utterance in split_messages(text):
+        if speaker:
+            mentions.append((speaker, sp_off, sp_off + len(speaker)))
+        for name, s, e in extract_mentions_py(utterance):
+            mentions.append((name, utt_off + s, utt_off + e))
+    return mentions
+
+
+def extract_mentions_json_py(text: str) -> list[tuple[str, int, int]]:
+    """JSON-source extraction (EpisodeType.json, nodes.py:66-68;
+    prompts/extract_nodes.py extract_json): entities are the string leaf
+    values of the document — names, titles, referenced actors — excluding
+    date-like and URL-like values (the prompt's date/relationship
+    exclusions). Positions locate the first occurrence of the quoted value.
+    Malformed JSON falls back to plain-text extraction (the reference would
+    surface the raw string to the model the same way)."""
+    import json
+
+    if not text:
+        return []
+    try:
+        doc = json.loads(text)
+    except (ValueError, TypeError):
+        return extract_mentions_py(text)
+    leaves: list[str] = []
+
+    def _walk(v):
+        if isinstance(v, dict):
+            for vv in v.values():
+                _walk(vv)
+        elif isinstance(v, list):
+            for vv in v:
+                _walk(vv)
+        elif isinstance(v, str):
+            leaves.append(v)
+
+    _walk(doc)
+    mentions: list[tuple[str, int, int]] = []
+    seen: set[str] = set()
+    for v in leaves:
+        name = v.strip()
+        if (
+            not name
+            or len(name) > 80
+            or name in seen
+            or _ISO_DATEISH.match(name)
+            or _URLISH.match(name)
+        ):
+            continue
+        seen.add(name)
+        idx = text.find(f'"{v}"')
+        start = idx + 1 if idx >= 0 else 0
+        mentions.append((name, start, start + len(name)))
+    return mentions
+
+
+def extract_mentions_dispatch_py(text: str, source: str) -> list[tuple[str, int, int]]:
+    """EpisodeType dispatch (node_operations.py:279-291): message/json/text
+    pick their extractor; unknown sources default to text."""
+    if source == "message":
+        return extract_mentions_message_py(text)
+    if source == "json":
+        return extract_mentions_json_py(text)
+    return extract_mentions_py(text)
+
+
 _MENTION_SCHEMA = ArrayType(
     StructType(
         [
@@ -142,6 +240,16 @@ def extract_mentions_udf(text: pd.Series) -> pd.Series:
     return pd.Series([extract_mentions_py(t if t is not None else "") for t in text])
 
 
+@F.pandas_udf(_MENTION_SCHEMA)
+def extract_mentions_src_udf(text: pd.Series, source: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            extract_mentions_dispatch_py(t if t is not None else "", s or "text")
+            for t, s in zip(text, source)
+        ]
+    )
+
+
 def mentions_stage(episodes: DataFrame) -> DataFrame:
     """episodes -> mentions DF
     (episode_uuid, group_id, name, name_norm, entity_uuid, start_pos, end_pos,
@@ -152,13 +260,20 @@ def mentions_stage(episodes: DataFrame) -> DataFrame:
     (episode_uuid, entity_uuid); cross-episode exact dedup is free because the
     uuid is a pure function of (normalized name, group_id).
     """
+    # EpisodeType dispatch (node_operations.py:279-291): per-row source
+    # column selects the message/json/text extractor inside ONE Arrow batch
+    # — no per-type job, no extra pass.
+    if "source" in episodes.columns:
+        m_arr = extract_mentions_src_udf(F.col("content"), F.col("source"))
+    else:
+        m_arr = extract_mentions_udf(F.col("content"))
     exploded = (
         episodes.select(
             F.col("uuid").alias("episode_uuid"),
             "group_id",
             "valid_at",
             "created_at",
-            F.explode(extract_mentions_udf(F.col("content"))).alias("m"),
+            F.explode(m_arr).alias("m"),
         )
         .select(
             "episode_uuid",

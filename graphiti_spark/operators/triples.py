@@ -30,7 +30,11 @@ from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from graphiti_spark.functions.ids import edge_uuid_udf, entity_uuid_udf
 from graphiti_spark.functions.normalize import predicate_name_py
-from graphiti_spark.operators.ner import extract_mentions_py, split_sentences
+from graphiti_spark.operators.ner import (
+    extract_mentions_py,
+    split_messages,
+    split_sentences,
+)
 
 # Verbs common in SVO facts; supplements the morphological heuristic.
 _VERB_LIST = frozenset(
@@ -105,6 +109,103 @@ def extract_triples_py(text: str) -> list[tuple[str, str, str, str, str | None, 
     return out
 
 
+_FIRST_PERSON = re.compile(r"^\s*(I|We)\s+([A-Za-z]+)", re.IGNORECASE)
+_NAMEISH_KEYS = ("name", "title", "id")
+
+
+def extract_triples_message_py(text: str) -> list[tuple[str, str, str, str, str | None, str | None]]:
+    """Message-source triples: run the sentence extractor over each
+    utterance body, plus the speaker-pronoun rule — an utterance sentence
+    opening 'I/We <verb> ... <Entity>' yields (speaker, VERB, entity)
+    (prompts/extract_nodes.py:92-95 pronoun disambiguation: he/she/I resolve
+    to the dialogue actor). Deterministic."""
+    out = []
+    if not text:
+        return out
+    for _sp_off, speaker, _utt_off, utterance in split_messages(text):
+        out.extend(extract_triples_py(utterance))
+        if not speaker:
+            continue
+        for _off, sent in split_sentences(utterance):
+            m = _FIRST_PERSON.match(sent)
+            if not m or not _verbish(m.group(2)):
+                continue
+            mentions = extract_mentions_py(sent)
+            if not mentions:
+                continue
+            obj = mentions[0][0]
+            if obj == speaker:
+                continue
+            valid_s, invalid_s = _extract_dates(sent)
+            pred = predicate_name_py(m.group(2))
+            fact = re.sub(r"\s+", " ", f"{speaker}: {sent}").strip()
+            if pred:
+                out.append((speaker, pred, obj, fact, valid_s, invalid_s))
+    return out
+
+
+def extract_triples_json_py(text: str) -> list[tuple[str, str, str, str, str | None, str | None]]:
+    """JSON-source triples: each object carrying a name-ish key yields
+    (name, FIELD, value) for its other string-leaf fields — the structured
+    twin of the reference's extract_edges over EpisodeType.json content.
+    Nested objects/lists recurse; non-string scalars are attributes, not
+    entities, and are skipped (endpoints must be entities,
+    prompts/extract_edges.py:107-124). Malformed JSON yields nothing."""
+    import json
+
+    out = []
+    if not text:
+        return out
+    try:
+        doc = json.loads(text)
+    except (ValueError, TypeError):
+        return out
+
+    def _subject_of(d: dict) -> str | None:
+        for k in _NAMEISH_KEYS:
+            v = d.get(k)
+            if isinstance(v, str) and v.strip():
+                return v.strip()
+        return None
+
+    def _walk(v):
+        if isinstance(v, list):
+            for vv in v:
+                _walk(vv)
+            return
+        if not isinstance(v, dict):
+            return
+        subj = _subject_of(v)
+        for k, vv in v.items():
+            if isinstance(vv, (dict, list)):
+                _walk(vv)
+                continue
+            if subj is None or k in _NAMEISH_KEYS or not isinstance(vv, str):
+                continue
+            obj = vv.strip()
+            if not obj or len(obj) > 80 or obj == subj:
+                continue
+            pred = predicate_name_py(k)
+            if not pred:
+                continue
+            valid_s, invalid_s = _extract_dates(obj)
+            fact = f"{subj} {k} {obj}"
+            out.append((subj, pred, obj, fact, valid_s, invalid_s))
+
+    _walk(doc)
+    return out
+
+
+def extract_triples_dispatch_py(text: str, source: str):
+    """EpisodeType dispatch for edge extraction (edge_operations.py:190-324
+    selects per-source prompts)."""
+    if source == "message":
+        return extract_triples_message_py(text)
+    if source == "json":
+        return extract_triples_json_py(text)
+    return extract_triples_py(text)
+
+
 _TRIPLE_SCHEMA = ArrayType(
     StructType(
         [
@@ -124,6 +225,16 @@ def extract_triples_udf(text: pd.Series) -> pd.Series:
     return pd.Series([extract_triples_py(t if t is not None else "") for t in text])
 
 
+@F.pandas_udf(_TRIPLE_SCHEMA)
+def extract_triples_src_udf(text: pd.Series, source: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            extract_triples_dispatch_py(t if t is not None else "", s or "text")
+            for t, s in zip(text, source)
+        ]
+    )
+
+
 def _parse_date_col(c):
     """'YYYY' or 'YYYY-MM-DD' (or 'Month YYYY' tail) -> timestamp.
     ISO parse with fallbacks mirrors edge_operations.py:291-305."""
@@ -141,13 +252,18 @@ def triples_stage(episodes: DataFrame) -> DataFrame:
     to canonical uuids — same two-phase shape as the reference
     (extract -> resolve_edge_pointers, graphiti.py:505).
     """
+    # EpisodeType dispatch mirrors mentions_stage: per-row source column.
+    if "source" in episodes.columns:
+        tr_arr = extract_triples_src_udf(F.col("content"), F.col("source"))
+    else:
+        tr_arr = extract_triples_udf(F.col("content"))
     t = (
         episodes.select(
             F.col("uuid").alias("episode_uuid"),
             "group_id",
             F.col("valid_at").alias("episode_valid_at"),
             "created_at",
-            F.explode(extract_triples_udf(F.col("content"))).alias("tr"),
+            F.explode(tr_arr).alias("tr"),
         )
         .select(
             "episode_uuid",

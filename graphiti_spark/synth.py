@@ -62,6 +62,85 @@ def _build_html_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
     )
 
 
+def _cap_pair(words: list[str], i: int) -> str:
+    return f"{words[i % len(words)].capitalize()} {words[(i + 1) % len(words)].capitalize()}"
+
+
+def _build_message(doc_id: int, text: str) -> str:
+    """Deterministic 'Speaker: utterance' transcript from the doc's words
+    (EpisodeType.message contract, reference nodes.py:55-65)."""
+    words = [w for w in (text or "").split() if w.isalpha()] or ["empty", "chat"]
+    h = int(hashlib.md5(f"m{doc_id}".encode()).hexdigest()[:8], 16)
+    alice = _cap_pair(words, h % len(words))
+    bob = _cap_pair(words, (h + 3) % len(words))
+    org = f"{words[(h + 5) % len(words)].capitalize()} Systems"
+    city = words[(h + 7) % len(words)].capitalize()
+    verb = _VERBS[h % len(_VERBS)]
+    return "\n".join(
+        [
+            f"{alice}: I joined {org} in 2021.",
+            f"{bob}: {alice} {verb} {city}.",
+            f"{alice}: We visited {city} last year.",
+        ]
+    )
+
+
+def _build_json(doc_id: int, text: str) -> str:
+    """Deterministic JSON document (EpisodeType.json contract, nodes.py:66-68)."""
+    import json
+
+    words = [w for w in (text or "").split() if w.isalpha()] or ["empty", "record"]
+    h = int(hashlib.md5(f"j{doc_id}".encode()).hexdigest()[:8], 16)
+    name = _cap_pair(words, h % len(words))
+    employer = f"{words[(h + 2) % len(words)].capitalize()} Systems"
+    city = words[(h + 4) % len(words)].capitalize()
+    return json.dumps(
+        {
+            "name": name,
+            "employer": employer,
+            "location": city,
+            "since": "2020-01-01",
+            "followers": h % 1000,
+            "projects": [{"title": f"{city} Initiative", "status": "active"}],
+        },
+        sort_keys=True,
+    )
+
+
+def typed_pages_from_documents(
+    spark: SparkSession, sf_dir: str, source_type: str = "message", limit: int | None = None
+) -> DataFrame:
+    """Message- or json-source pages derived from the documents table —
+    deterministic fixtures for the EpisodeType dispatch path. The `source`
+    column rides through episodes_stage into the per-row extractor dispatch."""
+    builder = _build_message if source_type == "message" else _build_json
+
+    @F.pandas_udf("string")
+    def _content_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [builder(int(d), t if t is not None else "") for d, t in zip(doc_id, text)]
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if limit:
+        docs = docs.filter(F.col("doc_id") < limit)
+    return docs.select(
+        F.concat(
+            F.lit("https://chat."), F.col("source"), F.lit(".example.com/"), F.lit(source_type),
+            F.lit("/"), F.col("doc_id"),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("doc_id") % 525600)
+        ).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        _content_udf(F.col("doc_id"), F.col("text")).alias("text"),
+        F.col("lang"),
+        F.lit(source_type).alias("source"),
+        F.lit(f"synthetic {source_type} corpus").alias("source_description"),
+    )
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     """Pages table from the driver-provided documents. ``replicate`` unions
     `replicate` deterministic variants (distinct doc_id offsets -> distinct

@@ -35,6 +35,8 @@ GOLDEN_QUERIES = [
     "kg_pagerank",
     "kg_communities",
     "kg_search_hybrid",
+    "kg_message_edges",
+    "kg_json_edges",
 ]
 
 
