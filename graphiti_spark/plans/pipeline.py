@@ -53,10 +53,21 @@ def _config_hash(config: PipelineConfig) -> str:
 class StageLedger:
     """Parquet-staged commit/resume. None output_dir => fully in-memory."""
 
-    def __init__(self, spark: SparkSession, output_dir: str | None, config: PipelineConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        output_dir: str | None,
+        config: PipelineConfig,
+        extra_hash: str = "",
+    ):
         self.spark = spark
         self.output_dir = output_dir
-        self.cfg_hash = _config_hash(config)
+        # extra_hash folds non-config run inputs (e.g. the type registry)
+        # into the resume key so a changed registry invalidates committed
+        # stages instead of resuming stale tables.
+        self.cfg_hash = _config_hash(config) + (
+            hashlib.md5(extra_hash.encode()).hexdigest()[:8] if extra_hash else ""
+        )
         self.stages_run: list[str] = []
         self.stages_resumed: list[str] = []
 
@@ -130,13 +141,22 @@ def run_pipeline(
     pages: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
     output_dir: str | None = None,
+    registry=None,
 ) -> dict[str, DataFrame]:
     """Execute the full DAG; returns the output tables as DataFrames.
 
     With ``output_dir`` set, every stage is committed and the run is
     resumable: re-invoking with the same config skips committed stages.
+
+    ``registry``: optional ``typed_schemas.TypeRegistry`` — caller-supplied
+    entity/edge type schemas applied to the final node/edge tables
+    (labels + typed attributes + fact_type; the reference's Pydantic
+    entity_types/edge_types hooks, node_operations.py:680-688,
+    edge_operations.py:522-540).
     """
-    ledger = StageLedger(spark, output_dir, config)
+    ledger = StageLedger(
+        spark, output_dir, config, extra_hash=repr(registry) if registry is not None else ""
+    )
 
     with_text = ledger.materialize("s1_text", lambda: extract_text_stage(pages))
     episodes = ledger.materialize(
@@ -161,19 +181,30 @@ def run_pipeline(
         lambda: score_and_filter_pairs(entities, candidate_pairs(entities, config), config),
     )
     uuid_map = ledger.materialize("s6_uuid_map", lambda: connected_components(dup_pairs, config))
-    nodes = ledger.materialize(
-        "s7_nodes",
-        lambda: canonical_nodes(entities, uuid_map, config.created_at_iso),
-        partition_by=["group_id"],
-    )
+    def _build_nodes():
+        n = canonical_nodes(entities, uuid_map, config.created_at_iso)
+        if registry is not None:
+            from graphiti_spark.operators.typed_schemas import apply_entity_types
+
+            n = apply_entity_types(n, registry)
+        return n
+
+    nodes = ledger.materialize("s7_nodes", _build_nodes, partition_by=["group_id"])
     edges_merged = ledger.materialize(
         "s7_edges",
         lambda: merge_edges(resolve_edge_pointers(triples_raw, uuid_map)),
         partition_by=["group_id"],
     )
-    edges = ledger.materialize(
-        "s8_edges_final", lambda: invalidate_contradictions(edges_merged, config), partition_by=["group_id"]
-    )
+
+    def _build_edges_final():
+        e = invalidate_contradictions(edges_merged, config)
+        if registry is not None:
+            from graphiti_spark.operators.typed_schemas import apply_edge_types
+
+            e = apply_edge_types(e, registry)
+        return e
+
+    edges = ledger.materialize("s8_edges_final", _build_edges_final, partition_by=["group_id"])
     # Salt the mentions write on entity_uuid: canonicalization concentrates a
     # hot entity's mention rows on one key (the "google" problem at corpus
     # scale); salting spreads the write across salt_buckets tasks.
