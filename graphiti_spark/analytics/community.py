@@ -78,6 +78,47 @@ def label_propagation(
     return labels
 
 
+def update_communities(
+    labels: DataFrame,
+    edges: DataFrame,
+    src_col: str = "source_node_uuid",
+    dst_col: str = "target_node_uuid",
+) -> DataFrame:
+    """Incremental community update (update_community /
+    determine_entity_community, community_operations.py:229-308): nodes in
+    the graph but ABSENT from the persisted ``labels`` table adopt the modal
+    community among their already-labeled neighbors, weighted by edge count
+    (the Cypher pattern matches once per RELATES_TO path). Ties break toward
+    the larger community uuid — the same rule as the LPA tie-break, so a
+    delta attach agrees with what a recompute would do. New nodes with no
+    labeled neighbor become their own singleton community (the reference
+    returns None/unassigned; singleton = LPA's behavior for isolated nodes).
+
+    Cost shape: ONE round over the delta — a broadcast semi-join of the new
+    nodes against the adjacency + one grouped vote, instead of re-running
+    LPA over the full graph.
+    """
+    adj = neighbor_projection(edges, src_col, dst_col)
+    nodes = adj.select(F.col("u").alias("uuid")).dropDuplicates(["uuid"])
+    new_nodes = nodes.join(labels.select("uuid"), "uuid", "left_anti")
+    votes = (
+        adj.join(F.broadcast(new_nodes.withColumnRenamed("uuid", "u")), "u")
+        .join(labels.withColumnRenamed("uuid", "v"), "v")
+        .groupBy(F.col("u").alias("uuid"), "community")
+        .agg(F.sum("weight").alias("w"))
+    )
+    w_rank = Window.partitionBy("uuid").orderBy(F.desc("w"), F.desc("community"))
+    assigned = (
+        votes.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .select("uuid", "community")
+    )
+    singleton = new_nodes.join(assigned.select("uuid"), "uuid", "left_anti").withColumn(
+        "community", F.col("uuid")
+    )
+    return labels.unionByName(assigned).unionByName(singleton)
+
+
 def build_communities(
     labels: DataFrame, nodes: DataFrame, created_at_iso: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -15,6 +15,8 @@ earliest created_at, latest non-null fact before the write.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,18 +76,42 @@ def upsert_table(
       isolated MERGE INTO (atomic; concurrent-safe — the AtomicCentrality-
       Storage guarantees come from the table format, atomic_centrality_
       storage.py:349-354 analog).
-    - otherwise `target` is a path: overwrite parquet with the same layout
-      (the sandbox path; non-atomic but layout-identical).
+    - otherwise `target` is a path: EXECUTED merge-by-rewrite with the same
+      WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT semantics — existing
+      rows whose key appears in the source are replaced, all other existing
+      rows survive. The rewrite stages to a sibling temp dir and swaps, so
+      a reader never sees a half-written table (rename-level atomicity; the
+      real catalog gives true snapshot isolation).
     """
+    import shutil
+    import uuid as _uuid
+
     deduped = dedupe_for_upsert(df, key)
     if iceberg_available(spark) and "/" not in target:
         deduped.createOrReplaceTempView("_upsert_source")
         spark.sql(merge_into_sql(target, "_upsert_source", deduped.columns, key))
         return
-    writer = deduped.write.mode("overwrite")
+    merged = deduped
+    if os.path.isdir(target):
+        existing = spark.read.parquet(target)
+        # align schemas: rows keep the union of columns, source wins shape
+        for c in deduped.columns:
+            if c not in existing.columns:
+                existing = existing.withColumn(c, F.lit(None).cast(deduped.schema[c].dataType))
+        existing = existing.select(deduped.columns)
+        survivors = existing.join(deduped.select(key), key, "left_anti")
+        merged = survivors.unionByName(deduped)
+    tmp = f"{target}._staged_{_uuid.uuid4().hex[:8]}"
+    writer = merged.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(target)
+    writer.parquet(tmp)
+    old = f"{target}._old_{_uuid.uuid4().hex[:8]}"
+    if os.path.isdir(target):
+        os.rename(target, old)
+    os.rename(tmp, target)
+    if os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def write_salted(
