@@ -522,6 +522,35 @@ def _q_bfs_2hop(spark, sf_dir):
     return out.select("uuid", F.col("depth").cast("long").alias("depth"))
 
 
+def _q_relevance_feedback(spark, sf_dir):
+    """Two heuristic scoring rounds folded into the feedback table
+    (RelevanceScorer EMA + decay; round 2 touches only even doc_ids so the
+    idle half drifts by one 30-day half-life)."""
+    from graphiti_spark.analytics.relevance import (
+        empty_feedback,
+        heuristic_relevance_col,
+        update_feedback,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    s1 = docs.select(
+        F.col("doc_id").cast("string").alias("memory_id"),
+        heuristic_relevance_col("spark join filter", "text").alias("score"),
+    )
+    s2 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("memory_id"),
+        heuristic_relevance_col("data quality metrics", "text").alias("score"),
+    )
+    fb = update_feedback(empty_feedback(spark), s1, "2024-01-01 00:00:00")
+    fb = update_feedback(fb, s2, "2024-01-31 00:00:00")
+    return fb.select(
+        "memory_id",
+        F.round("avg_relevance", 6).alias("avg_relevance"),
+        F.col("usage_count").cast("long").alias("usage_count"),
+        F.round("decay_factor", 6).alias("decay_factor"),
+    )
+
+
 def _q_normalize_names(spark, sf_dir):
     from graphiti_spark.functions.normalize import normalize_entity_name_col
 
@@ -587,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "token_budget": _q_token_budget,
         "normalize_names": _q_normalize_names,
+        "relevance_feedback": _q_relevance_feedback,
         # --- multimodal plumbing ---
         "multimodal_features": _q_multimodal_features,
     }
@@ -885,6 +915,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT 's1' AS uuid, CAST(0 AS BIGINT) AS depth
             UNION ALL SELECT v, 1 FROM d1
             UNION ALL SELECT v, 2 FROM d2
+        """,
+        "relevance_feedback": f"""
+            WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
+            s1 AS (SELECT doc_id,
+                     CASE WHEN len(list_distinct(list_concat(tk, ['filter','join','spark']))) > 0
+                          THEN 0.3 + 0.4 * CAST(len(list_intersect(tk, ['filter','join','spark'])) AS DOUBLE)
+                               / len(list_distinct(list_concat(tk, ['filter','join','spark'])))
+                          ELSE 0.5 END AS s
+                   FROM toks),
+            s2 AS (SELECT doc_id,
+                     CASE WHEN len(list_distinct(list_concat(tk, ['data','metrics','quality']))) > 0
+                          THEN 0.3 + 0.4 * CAST(len(list_intersect(tk, ['data','metrics','quality'])) AS DOUBLE)
+                               / len(list_distinct(list_concat(tk, ['data','metrics','quality'])))
+                          ELSE 0.5 END AS s
+                   FROM toks WHERE doc_id % 2 = 0)
+            SELECT CAST(s1.doc_id AS VARCHAR) AS memory_id,
+                   round(CASE WHEN s2.s IS NOT NULL THEN 0.3 * s2.s + 0.7 * s1.s ELSE s1.s END, 6) AS avg_relevance,
+                   CAST(CASE WHEN s2.s IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS usage_count,
+                   round(CASE WHEN s2.s IS NOT NULL THEN 1.0
+                              ELSE exp(-0.693 * ((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                                                  - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / (86400.0 * 1e6)) / 30.0)
+                         END, 6) AS decay_factor
+            FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id
         """,
         "normalize_names": r"""
             SELECT p_partkey,

@@ -70,6 +70,7 @@ class StageLedger:
         )
         self.stages_run: list[str] = []
         self.stages_resumed: list[str] = []
+        self.timings: dict[str, float] = {}
 
     def _paths(self, stage: str) -> tuple[str, str]:
         base = os.path.join(self.output_dir, stage)
@@ -82,7 +83,13 @@ class StageLedger:
         partition_by: list[str] | None = None,
         salt_on: str | None = None,
         salt_buckets: int = 16,
+        lazy_ok: bool = False,
     ) -> DataFrame:
+        """``lazy_ok``: the stage has exactly ONE downstream consumer, so in
+        in-memory mode its compute can fold into that consumer's job instead
+        of paying a localCheckpoint barrier (each barrier is serial wall
+        time under Amdahl — the scaling gate's enemy). Parquet mode still
+        commits it (resume granularity unchanged)."""
         """``salt_on``: repartition the write on (column, salt) so a
         high-degree key (a hot entity mentioned on millions of pages) spreads
         over `salt_buckets` shuffle partitions instead of one straggler task
@@ -96,7 +103,11 @@ class StageLedger:
             # action re-analyzes the full upstream tree and driver-side
             # planning becomes the serial bottleneck (measured ~60% of wall
             # at SF=0.1; Amdahl kills multi-core scaling).
-            df = build().localCheckpoint(eager=True)
+            import time as _time
+
+            t0 = _time.time()
+            df = build() if lazy_ok else build().localCheckpoint(eager=True)
+            self.timings[stage] = _time.time() - t0
             self.stages_run.append(stage)
             return df
         base, manifest_path = self._paths(stage)
@@ -136,6 +147,21 @@ class StageLedger:
         return out
 
 
+def _materialize_parallel(ledger: StageLedger, *specs) -> list[DataFrame]:
+    """Materialize independent stages concurrently. Each spec is
+    (stage, build, kwargs). Concurrent actions on one SparkSession are
+    supported (jobs from different threads share the scheduler); exceptions
+    propagate. Falls back to sequential for a single spec."""
+    if len(specs) == 1:
+        stage, build, kw = specs[0]
+        return [ledger.materialize(stage, build, **kw)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(specs)) as pool:
+        futs = [pool.submit(ledger.materialize, stage, build, **kw) for stage, build, kw in specs]
+        return [f.result() for f in futs]
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -158,13 +184,22 @@ def run_pipeline(
         spark, output_dir, config, extra_hash=repr(registry) if registry is not None else ""
     )
 
-    with_text = ledger.materialize("s1_text", lambda: extract_text_stage(pages))
+    # s1 has exactly one consumer (s2): in-memory mode folds it into the s2
+    # job instead of paying a barrier.
+    with_text = ledger.materialize("s1_text", lambda: extract_text_stage(pages), lazy_ok=True)
     episodes = ledger.materialize(
         "s2_episodes", lambda: episodes_stage(with_text, config), partition_by=["group_id"]
     )
     # Persist shared upstream once: mentions feed S4 join-free but both S5/S7.
-    mentions_raw = ledger.materialize("s3_mentions", lambda: mentions_stage(episodes))
-    triples_raw = ledger.materialize("s4_triples", lambda: triples_stage(episodes))
+    # S3 and S4 are independent (both read only episodes): materialize them
+    # CONCURRENTLY — Spark schedules both job groups at once, overlapping
+    # each stage's driver-planning gap and straggler tail with the other's
+    # compute (serial-time cut for the scaling gate).
+    mentions_raw, triples_raw = _materialize_parallel(
+        ledger,
+        ("s3_mentions", lambda: mentions_stage(episodes), {}),
+        ("s4_triples", lambda: triples_stage(episodes), {}),
+    )
 
     from graphiti_spark.operators.er import (
         candidate_pairs,
@@ -189,11 +224,12 @@ def run_pipeline(
             n = apply_entity_types(n, registry)
         return n
 
-    nodes = ledger.materialize("s7_nodes", _build_nodes, partition_by=["group_id"])
+    # s7_edges has exactly one consumer (s8): lazy in-memory, committed on disk.
     edges_merged = ledger.materialize(
         "s7_edges",
         lambda: merge_edges(resolve_edge_pointers(triples_raw, uuid_map)),
         partition_by=["group_id"],
+        lazy_ok=True,
     )
 
     def _build_edges_final():
@@ -204,18 +240,22 @@ def run_pipeline(
             e = apply_edge_types(e, registry)
         return e
 
-    edges = ledger.materialize("s8_edges_final", _build_edges_final, partition_by=["group_id"])
-    # Salt the mentions write on entity_uuid: canonicalization concentrates a
-    # hot entity's mention rows on one key (the "google" problem at corpus
+    # After uuid_map, the four output stages fan out from (entities,
+    # triples_raw, mentions_raw, uuid_map) with no cross-dependencies —
+    # materialize them CONCURRENTLY (overlaps planning gaps + task tails).
+    # Salting note (s9_mentions): canonicalization concentrates a hot
+    # entity's mention rows on one key (the "google" problem at corpus
     # scale); salting spreads the write across salt_buckets tasks.
-    mentions = ledger.materialize(
-        "s9_mentions_final",
-        lambda: remap_mentions(mentions_raw, uuid_map),
-        salt_on="entity_uuid",
-        salt_buckets=config.salt_buckets,
-    )
-    audit = ledger.materialize(
-        "s9_audit_edges", lambda: build_duplicate_of_edges(uuid_map, config.created_at_iso)
+    nodes, edges, mentions, audit = _materialize_parallel(
+        ledger,
+        ("s7_nodes", _build_nodes, {"partition_by": ["group_id"]}),
+        ("s8_edges_final", _build_edges_final, {"partition_by": ["group_id"]}),
+        (
+            "s9_mentions_final",
+            lambda: remap_mentions(mentions_raw, uuid_map),
+            {"salt_on": "entity_uuid", "salt_buckets": config.salt_buckets},
+        ),
+        ("s9_audit_edges", lambda: build_duplicate_of_edges(uuid_map, config.created_at_iso), {}),
     )
 
     return {

@@ -14,6 +14,7 @@ to ``MERGE INTO`` / snapshot commits automatically (see sinks/tables.py).
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 import zipfile
 
@@ -45,7 +46,19 @@ def get_spark(
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp is not None:
+            shuffle_partitions = int(env_sp)
+        else:
+            # 3 waves per core: one-task-per-core (1 wave) leaves cores idle
+            # behind every straggler; finer tasks smooth the tail. AQE
+            # coalesces the small ones back. On a real cluster this is
+            # thousands (set SPARK_GRAFT_SHUFFLE_PARTITIONS).
+            m = re.fullmatch(r"local\[(\d+|\*)\]", master or "")
+            cores = os.cpu_count() or 8
+            if m and m.group(1) != "*":
+                cores = int(m.group(1))
+            shuffle_partitions = 3 * cores
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -160,7 +160,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -
         base = variants[0]
         for v in variants[1:]:
             base = base.unionByName(v)
-        docs = base.repartition(max(spark.sparkContext.defaultParallelism, replicate))
+        # 3 waves per core (not 1): the downstream Arrow-UDF map stages
+        # inherit this partitioning, and one-task-per-core means every
+        # straggler doc idles the other cores behind it.
+        docs = base.repartition(max(3 * spark.sparkContext.defaultParallelism, replicate))
     return docs.select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")).alias("url"),
         (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(mins=F.col("doc_id") % 525600)).alias("warc_ts"),
