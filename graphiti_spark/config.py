@@ -57,7 +57,12 @@ class PipelineConfig:
     pagerank_damping: float = 0.85       # centrality_operations.py:58
     pagerank_iterations: int = 20        # centrality_operations.py:62
     cc_max_iterations: int = 50
-    cc_driver_threshold: int = 100_000   # <= N edges: driver union-find (parity path)
+    # <= N edges: driver union-find (reference-parity path). Duplicate-pair
+    # edges are tiny rows (~100 B); 1M ≈ 100 MB on a 24 GB driver. Above it,
+    # the distributed large/small-star loop takes over — at 10^12 docs the
+    # pair list exceeds any driver, so the loop is the real path and the
+    # driver UF an optimization for small/medium corpora.
+    cc_driver_threshold: int = 1_000_000
 
     # --- job identity ---
     group_id_from_domain: bool = True

@@ -60,7 +60,7 @@ def _pgroup_cpu_seconds(pgid: int) -> float:
     return total_ticks / _TICK
 
 
-def run_bench(sf_dir: str, cpus: int, replicate: int = 1) -> dict:
+def run_bench(sf_dir: str, cpus: int, replicate: int = 1, master: str | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
@@ -68,6 +68,11 @@ def run_bench(sf_dir: str, cpus: int, replicate: int = 1) -> dict:
         SPARK_GRAFT_BENCH_PIPELINE_ONLY="1",
         SPARK_GRAFT_BENCH_REPLICATE=str(replicate),
     )
+    if master:
+        # e.g. local-cluster[2,4,4096]: SEPARATE executor JVMs — the faithful
+        # "N executors vs 4N executors" topology (thread-mode local[N] shares
+        # one JVM heap/GC across all cores, which penalizes the 4N level).
+        env["SPARK_GRAFT_MASTER"] = master
     t0 = time.time()
     proc = subprocess.Popen(
         [sys.executable, os.path.join(ROOT, "bench.py")],
@@ -106,14 +111,30 @@ def main() -> None:
         default=1,
         help="union N deterministic corpus variants so compute dominates fixed overhead",
     )
+    ap.add_argument(
+        "--mode",
+        choices=["threads", "cluster"],
+        default="threads",
+        help=(
+            "threads: local[N] vs local[4N] (one JVM). cluster: "
+            "local-cluster[N/4,4,4096] vs local-cluster[N,4,4096] — separate "
+            "executor JVMs, the faithful N-vs-4N-executors comparison"
+        ),
+    )
     args = ap.parse_args()
+    masters = {args.low: None, args.high: None}
+    if args.mode == "cluster":
+        masters = {
+            args.low: f"local-cluster[{max(args.low // 4, 1)},4,4096]",
+            args.high: f"local-cluster[{max(args.high // 4, 1)},4,4096]",
+        }
 
     # Paired A/B design: alternate levels each trial so both sample the same
     # host-contention window; min-per-level filters the noise bursts.
     runs: dict[int, list[dict]] = {args.low: [], args.high: []}
     for t in range(args.trials):
         for cpus in (args.low, args.high):
-            r = run_bench(args.sf_dir, cpus, args.replicate)
+            r = run_bench(args.sf_dir, cpus, args.replicate, master=masters[cpus])
             runs[cpus].append(r)
             print(
                 f"# local[{cpus}] trial {t}: {r['value']}s wall, "
@@ -134,6 +155,8 @@ def main() -> None:
             {
                 "sf_dir": args.sf_dir,
                 "replicate": args.replicate,
+                "mode": args.mode,
+                "masters": {str(k): v for k, v in masters.items()},
                 "low_cpus": args.low,
                 "high_cpus": args.high,
                 "low_sec": lo["value"],
