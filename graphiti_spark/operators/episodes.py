@@ -71,6 +71,30 @@ def episodes_stage(pages: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) ->
     )
 
 
+def backfill_entity_edges(episodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """episode.entity_edges backfill (graphiti.py:524-528; EpisodicNode
+    field nodes.py:231): each episode carries the uuids of every final
+    entity edge whose provenance includes it. The merged edge table's
+    ``episodes`` array IS that provenance, so the backfill is one explode +
+    groupBy — sorted for determinism. Episodes with no edges get [].
+
+    Scale: explode keyed by episode_uuid, one shuffle; the per-episode edge
+    list is bounded by edges-per-page, not corpus size.
+    """
+    prov = (
+        edges.select(F.col("uuid").alias("_edge_uuid"), F.explode("episodes").alias("episode_uuid"))
+        .groupBy("episode_uuid")
+        .agg(F.array_sort(F.collect_set("_edge_uuid")).alias("entity_edges"))
+    )
+    out = episodes.join(prov, episodes["uuid"] == prov["episode_uuid"], "left").drop(
+        "episode_uuid"
+    )
+    return out.withColumn(
+        "entity_edges",
+        F.coalesce("entity_edges", F.array().cast("array<string>")),
+    )
+
+
 def retrieve_episodes(
     episodes: DataFrame,
     reference_time,

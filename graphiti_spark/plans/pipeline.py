@@ -258,8 +258,13 @@ def run_pipeline(
         ("s9_audit_edges", lambda: build_duplicate_of_edges(uuid_map, config.created_at_iso), {}),
     )
 
+    # episode.entity_edges backfill (graphiti.py:524-528): lazy view over the
+    # committed episodes anchor + final edge provenance.
+    from graphiti_spark.operators.episodes import backfill_entity_edges
+
     return {
-        "episodes": episodes,
+        "episodes": backfill_entity_edges(episodes, edges),
+        "episodes_raw": episodes,
         "mentions_raw": mentions_raw,
         "triples_raw": triples_raw,
         "duplicate_pairs": dup_pairs,

@@ -113,3 +113,29 @@ def test_checkpoint_resume(spark, tmp_path):
     with open(os.path.join(out_dir, "s2_episodes", "_manifest.json")) as f:
         manifest = json.load(f)
     assert manifest["row_count"] == r1["episodes"].count()
+
+
+def test_episode_entity_edges_backfill(spark):
+    """episode.entity_edges carries the final edge uuids whose provenance
+    includes the episode (graphiti.py:524-528)."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.plans.pipeline import run_pipeline
+    from graphiti_spark.synth import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").limit(30)
+    out = run_pipeline(spark, pages)
+    eps = out["episodes"]
+    assert "entity_edges" in eps.columns
+    # cross-check one episode against the edge table's provenance
+    expected = (
+        out["edges"]
+        .select(F.col("uuid").alias("e"), F.explode("episodes").alias("ep"))
+        .groupBy("ep")
+        .agg(F.array_sort(F.collect_set("e")).alias("want"))
+    )
+    j = eps.join(expected, eps["uuid"] == expected["ep"], "inner")
+    bad = j.filter(F.col("entity_edges") != F.col("want")).count()
+    assert bad == 0
+    # episodes with no edges -> empty list, not null
+    assert eps.filter(F.col("entity_edges").isNull()).count() == 0
