@@ -212,6 +212,12 @@ def rrf(
     Each input DF must carry (id_col, score); rank is dense 0-based by
     descending score with id tie-break — deterministic under parallelism.
     Output: (id_col, rrf_score) sorted desc.
+
+    CONTRACT (scale): each input must be a bounded ranked candidate list
+    (top-k / over-fetch output, like every caller in this package) — the
+    global row_number Window is a single-task sort by design, which is O(k)
+    here and exactly what rank fusion means. Do NOT feed unbounded tables;
+    rank them with a limit first.
     """
     ranked = []
     for i, df in enumerate(rankings):

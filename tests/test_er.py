@@ -75,3 +75,39 @@ def test_blocking_df_cap(spark):
     ents = entity_catalog(mentions)
     accepted = score_and_filter_pairs(ents, candidate_pairs(ents, cfg), cfg)
     assert accepted.count() == 0
+
+
+def test_gate_follows_lowered_config(spark):
+    """The difflib gate derives from the SAME config as the acceptance filter
+    (ADVICE r1): with fuzzy_threshold lowered to 0.72, a pair whose
+    SequenceMatcher ratio is ~0.73 (below the default 0.9, above 0.72) must
+    be scored and accepted — the old baked-in 0.818 length-ratio gate would
+    have left fuzzy=0.0 and dropped it."""
+    import dataclasses
+    import difflib
+
+    from graphiti_spark.config import DEFAULT_CONFIG
+
+    a, b = "northga", "northgate"  # char-3-gram LSH blocks them together
+    ratio = difflib.SequenceMatcher(None, a, b).ratio()
+    assert 0.72 <= ratio < 0.9  # mid-band: needs the config-derived gate
+    # length ratio 7/9 = 0.778 sits between the lowered bound
+    # 0.72/(2-0.72)=0.5625 and the default bound 0.9/(2-0.9)=0.818 — the old
+    # baked-in gate would skip difflib entirely for this pair
+    assert 0.5625 < min(len(a), len(b)) / max(len(a), len(b)) < 0.818
+    cfg = dataclasses.replace(DEFAULT_CONFIG, fuzzy_threshold=0.72)
+
+    rows = [("e1", "g", a), ("e2", "g", b)]
+    mentions = spark.createDataFrame(rows, "episode_uuid string, group_id string, name string")
+    from graphiti_spark.functions.normalize import normalize_entity_name_col
+
+    mentions = mentions.withColumn("name_norm", normalize_entity_name_col("name")).withColumn(
+        "entity_uuid", F.udf(lambda n: entity_uuid_py(n, "g"))("name")
+    )
+    ents = entity_catalog(mentions)
+    accepted_low = score_and_filter_pairs(ents, candidate_pairs(ents, cfg), cfg).collect()
+    assert len(accepted_low) == 1
+    assert abs(accepted_low[0]["fuzzy"] - ratio) < 1e-9  # actually scored, not gated to 0
+    # default config: same pair correctly rejected (ratio < 0.9)
+    accepted_def = score_and_filter_pairs(ents, candidate_pairs(ents)).collect()
+    assert not any(r["fuzzy"] >= 0.9 for r in accepted_def)
