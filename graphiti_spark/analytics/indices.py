@@ -1,0 +1,136 @@
+"""Persisted search indices + constraints — ``build_indices_and_constraints``
+restated (/root/reference/graphiti_core/utils/maintenance/graph_data_operations.py:
+33-119; index DDL in graph_queries.py:17-95).
+
+The reference creates DB-side fulltext indices + uuid uniqueness
+constraints once, then every search hits them. The Spark-native twin is a
+PERSISTED POSTINGS TABLE: (term, id, tf) rows bucketed by a hash of the
+term so a query's terms prune to a handful of partition directories —
+the fulltext-index access path without a database. Document length stats
+ride in a tiny side table. BM25 over the postings reproduces
+``analytics.search.bm25_scores`` bit-for-bit while scanning only the query
+vocabulary's buckets instead of the raw text column.
+
+Uniqueness constraints become an explicit validation op (the reference's
+CREATE CONSTRAINT ... IS UNIQUE analog): assert_unique raises with the
+offending keys.
+
+Scale: the postings build is one explode + groupBy (shuffled on the term
+bucket, which also kills term skew: 'the' spreads over its bucket's
+files); queries read ~terms/n_buckets of the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphiti_spark.analytics.search import BM25_B, BM25_K1
+from graphiti_spark.functions.textstats import tokens_col
+
+
+def build_text_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n_buckets: int = 64,
+) -> None:
+    """Write the postings index: <path>/postings (partitioned by term
+    bucket) + <path>/stats (n_docs, avgdl) + <path>/doclen."""
+    base = docs.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("_toks"))
+    base = base.withColumn("dl", F.size("_toks"))
+    postings = (
+        base.select("id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", "id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.crc32("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
+    base.select("id", "dl").write.mode("overwrite").parquet(f"{path}/doclen")
+    base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    id_col: str = "id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """BM25 over the persisted index — value-identical to
+    ``search.bm25_scores`` on the source table, but the scan touches only
+    the query terms' buckets (partition pruning on the bucket key; check
+    PushedFilters/partition filters in .explain)."""
+    import zlib
+
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} string, score double")
+    buckets = sorted({zlib.crc32(t.encode()) % n_buckets for t in terms})
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)
+    df_by_term = postings.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        postings.join(F.broadcast(df_by_term), "term")
+        .withColumn(
+            "_term_score",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("id")
+        .agg(F.sum("_term_score").alias("score"))
+    )
+    return scored.select(F.col("id").alias(id_col), "score")
+
+
+def assert_unique(df: DataFrame, key: str = "uuid", sample: int = 5) -> None:
+    """Uniqueness-constraint validation (CREATE CONSTRAINT ... IS UNIQUE
+    analog, graph_queries.py:17-40): raises ValueError listing up to
+    ``sample`` duplicated keys. One groupBy; short-circuits on first rows."""
+    dups = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(sample)
+        .collect()
+    )
+    if dups:
+        keys = [r[key] for r in dups]
+        raise ValueError(f"uniqueness constraint violated on '{key}': {keys}")
+
+
+def clear_data(
+    spark: SparkSession,
+    output_dir: str,
+    group_ids: list[str] | None = None,
+) -> list[str]:
+    """``clear_data`` parity (graph_data_operations.py:33-63: DETACH DELETE
+    all nodes, or per group_id). On the parquet layout: remove every stage
+    table under ``output_dir``; with ``group_ids``, drop ONLY those groups'
+    partition directories (the group_id-partitioned stages) — a partition-
+    level delete, no rewrite of surviving data. Returns removed paths."""
+    import glob
+    import os
+    import shutil
+
+    removed: list[str] = []
+    if group_ids is None:
+        for entry in sorted(glob.glob(os.path.join(output_dir, "*"))):
+            shutil.rmtree(entry, ignore_errors=True)
+            removed.append(entry)
+        return removed
+    for gid in group_ids:
+        for part_dir in sorted(glob.glob(os.path.join(output_dir, "*", "data", f"group_id={gid}"))):
+            shutil.rmtree(part_dir, ignore_errors=True)
+            removed.append(part_dir)
+    return removed

@@ -1,0 +1,68 @@
+"""Persisted postings index + constraints + clear_data tests
+(build_indices_and_constraints parity, graph_data_operations.py:33-119)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.analytics.indices import (
+    assert_unique,
+    bm25_from_index,
+    build_text_index,
+    clear_data,
+)
+from graphiti_spark.analytics.search import bm25_scores
+
+
+def test_bm25_from_index_matches_direct(tmp_path, spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, "doc_id", "text", idx, n_buckets=16)
+    terms = ["spark", "join", "filter"]
+    direct = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+    }
+    via_index = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_from_index(spark, idx, terms, id_col="doc_id", n_buckets=16).collect()
+    }
+    assert via_index == direct and len(direct) > 0
+
+
+def test_index_scan_prunes_buckets(tmp_path, spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, "doc_id", "text", idx, n_buckets=16)
+    out = bm25_from_index(spark, idx, ["spark"], id_col="doc_id", n_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan  # partition filter on the bucket key reached the scan
+
+
+def test_assert_unique(spark):
+    ok = spark.createDataFrame([("a",), ("b",)], "uuid string")
+    assert_unique(ok)  # no raise
+    bad = spark.createDataFrame([("a",), ("a",), ("b",)], "uuid string")
+    with pytest.raises(ValueError, match="uniqueness constraint"):
+        assert_unique(bad)
+
+
+def test_clear_data_group_partitions(tmp_path, spark):
+    from graphiti_spark.plans.pipeline import run_pipeline
+    from graphiti_spark.synth import pages_from_documents
+
+    out_dir = str(tmp_path / "kg")
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").limit(40)
+    out = run_pipeline(spark, pages, output_dir=out_dir)
+    groups = [r["group_id"] for r in out["nodes"].select("group_id").distinct().limit(2).collect()]
+    removed = clear_data(spark, out_dir, group_ids=[groups[0]])
+    assert removed and all(f"group_id={groups[0]}" in p for p in removed)
+    nodes = spark.read.parquet(os.path.join(out_dir, "s7_nodes", "data"))
+    remaining = {r["group_id"] for r in nodes.select("group_id").distinct().collect()}
+    assert groups[0] not in remaining and groups[1] in remaining
+    # full clear removes every stage dir
+    removed_all = clear_data(spark, out_dir)
+    assert not os.listdir(out_dir) or not any(os.scandir(out_dir))
