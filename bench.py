@@ -59,20 +59,21 @@ def main() -> None:
     counts["kg_pipeline_e2e"] = n_edges
 
     if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_ONLY") == "1":
-        print(
-            json.dumps(
-                {
-                    "metric": "kg_pipeline_e2e_sec",
-                    "value": round(pipeline_sec, 3),
-                    "unit": "sec",
-                    "queries": queries,
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                    "cpus": int(cpus),
-                    "rows": {"edges": n_edges, "nodes": n_nodes, "mentions": n_mentions},
-                    "triples_per_sec": round(n_edges / pipeline_sec, 2),
-                }
-            )
-        )
+        payload = {
+            "metric": "kg_pipeline_e2e_sec",
+            "value": round(pipeline_sec, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cpus": int(cpus),
+            "rows": {"edges": n_edges, "nodes": n_nodes, "mentions": n_mentions},
+            "triples_per_sec": round(n_edges / pipeline_sec, 2),
+        }
+        if os.environ.get("SPARK_GRAFT_BENCH_TIMINGS") == "1":
+            payload["timings"] = {
+                k: round(v, 2) for k, v in out["_ledger"].timings.items()
+            }
+        print(json.dumps(payload))
         return
 
     # --- operator families over the same corpus ---

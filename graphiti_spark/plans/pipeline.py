@@ -190,32 +190,38 @@ def run_pipeline(
     episodes = ledger.materialize(
         "s2_episodes", lambda: episodes_stage(with_text, config), partition_by=["group_id"]
     )
-    # Persist shared upstream once: mentions feed S4 join-free but both S5/S7.
-    # S3 and S4 are independent (both read only episodes): materialize them
-    # CONCURRENTLY — Spark schedules both job groups at once, overlapping
-    # each stage's driver-planning gap and straggler tail with the other's
-    # compute (serial-time cut for the scaling gate).
-    mentions_raw, triples_raw = _materialize_parallel(
-        ledger,
-        ("s3_mentions", lambda: mentions_stage(episodes), {}),
-        ("s4_triples", lambda: triples_stage(episodes), {}),
-    )
-
     from graphiti_spark.operators.er import (
         candidate_pairs,
         entity_catalog,
         score_and_filter_pairs,
     )
 
-    # Entity catalog is its own committed stage: it feeds BOTH the S5
-    # candidate join and the S7 canonical-node fold — one embedding-UDF pass,
-    # not two.
-    entities = ledger.materialize("s5_entities", lambda: entity_catalog(mentions_raw))
-    dup_pairs = ledger.materialize(
-        "s5_duplicate_pairs",
-        lambda: score_and_filter_pairs(entities, candidate_pairs(entities, config), config),
-    )
-    uuid_map = ledger.materialize("s6_uuid_map", lambda: connected_components(dup_pairs, config))
+    # S4 (triples) is consumed only by S7, while the ER chain
+    # (S3 mentions -> S5 entities -> S5 pairs -> S6 components) is a strict
+    # sequence — so run S4 on a side thread and OVERLAP it with the entire
+    # ER chain instead of barriering after s3||s4. Both job groups share the
+    # scheduler; the long triple-extraction UDF scan hides under ER's
+    # planning gaps, UDF scoring, and CC iterations (serial-time cut for the
+    # scaling gate).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _triples_fut = _pool.submit(
+            ledger.materialize, "s4_triples", lambda: triples_stage(episodes)
+        )
+        mentions_raw = ledger.materialize("s3_mentions", lambda: mentions_stage(episodes))
+        # Entity catalog is its own committed stage: it feeds BOTH the S5
+        # candidate join and the S7 canonical-node fold — one embedding-UDF
+        # pass, not two.
+        entities = ledger.materialize("s5_entities", lambda: entity_catalog(mentions_raw))
+        dup_pairs = ledger.materialize(
+            "s5_duplicate_pairs",
+            lambda: score_and_filter_pairs(entities, candidate_pairs(entities, config), config),
+        )
+        uuid_map = ledger.materialize(
+            "s6_uuid_map", lambda: connected_components(dup_pairs, config)
+        )
+        triples_raw = _triples_fut.result()
     def _build_nodes():
         n = canonical_nodes(entities, uuid_map, config.created_at_iso)
         if registry is not None:

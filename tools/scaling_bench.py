@@ -11,14 +11,14 @@ Two metrics per level:
    987s and 406s an hour apart), so wall comparisons are only meaningful
    when both levels happen to sample comparable windows — reported, but
    noisy.
- - CPU CONCURRENCY: per-run CPU-seconds of the whole bench process tree
-   (sampled from /proc/<pid>/stat utime+stime+cutime+cstime across the
-   child's process group — the JVM isn't reaped through the Python chain,
-   so getrusage(RUSAGE_CHILDREN) undercounts), giving sustained
-   concurrency = cpu_sec / wall_sec. This is the contention-robust signal:
-   if the 4N run sustains ~4x the concurrency of the N run on the SAME
-   total CPU work, the job has no serial bottleneck and scales — wall
-   differences beyond that are host noise, not Amdahl.
+ - CPU CONCURRENCY: per-run CPU-seconds of the whole bench process TREE
+   (walked by ppid from /proc/<pid>/stat — NOT the process group: pyspark's
+   worker daemon detaches its pgroup, so pgroup accounting misses every
+   python UDF worker), split java vs python, giving sustained concurrency
+   = cpu_sec / wall_sec. This is the contention-robust signal: if the 4N
+   run sustains ~4x the concurrency of the N run on the SAME total CPU
+   work, the job has no serial bottleneck and scales — wall differences
+   beyond that are host noise, not Amdahl.
    efficiency_cpu = (concurrency_4N / concurrency_N) / (4N/N).
 
 Usage: python tools/scaling_bench.py [--sf-dir ...] [--trials 2] [--replicate N]
@@ -40,9 +40,16 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _TICK = os.sysconf("SC_CLK_TCK")
 
 
-def _pgroup_cpu_seconds(pgid: int) -> float:
-    """Total CPU (incl. reaped children) of every live process in pgid."""
-    total_ticks = 0
+def _tree_cpu_seconds(root_pid: int) -> dict[str, float]:
+    """CPU of the whole process TREE under root_pid, split java/python.
+
+    Tree, not process group: pyspark's worker daemon detaches its pgroup, so
+    pgroup accounting silently misses EVERY python UDF worker — during the
+    difflib-scorer stage that is most of the compute, which made the low
+    parallelism level look ~40% idle when it was actually saturated.
+    utime+stime+cutime+cstime per pid; reaped workers roll up into the
+    daemon's cutime, so totals survive worker churn."""
+    info: dict[int, tuple[int, str, int]] = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
@@ -51,13 +58,29 @@ def _pgroup_cpu_seconds(pgid: int) -> float:
                 raw = f.read().decode("latin-1")
             # fields after the (comm) — comm may contain spaces/parens
             rest = raw[raw.rindex(")") + 2 :].split()
-            # rest[2]=pgrp, rest[11]=utime, rest[12]=stime, rest[13]=cutime, rest[14]=cstime
-            if int(rest[2]) != pgid:
-                continue
-            total_ticks += int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+            ppid = int(rest[1])
+            ticks = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                exe = f.read().decode("latin-1", "replace").split("\x00")[0]
+            kind = "java" if "java" in exe else "python"
+            info[int(pid)] = (ppid, kind, ticks)
         except (OSError, ValueError, IndexError):
             continue
-    return total_ticks / _TICK
+    keep: set[int] = {root_pid}
+    for pid in info:
+        chain = []
+        p = pid
+        while p in info and p not in keep:
+            chain.append(p)
+            p = info[p][0]
+        if p in keep:
+            keep.update(chain)
+    out = {"java": 0.0, "python": 0.0}
+    for pid in keep:
+        if pid in info:
+            _, kind, ticks = info[pid]
+            out[kind] += ticks / _TICK
+    return out
 
 
 def run_bench(sf_dir: str, cpus: int, replicate: int = 1, master: str | None = None) -> dict:
@@ -67,6 +90,12 @@ def run_bench(sf_dir: str, cpus: int, replicate: int = 1, master: str | None = N
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_PIPELINE_ONLY="1",
         SPARK_GRAFT_BENCH_REPLICATE=str(replicate),
+        # Throughput GC, worker pool sized to the LEVEL, not the host: JVM
+        # ergonomics otherwise size GC threads from the host's 32 cores, and
+        # G1's concurrent marking burned >2x the entire job's compute at high
+        # thread counts (measured local[16] sf0.1x12: default G1 4333 cpu-s /
+        # 340s wall vs ParallelGC 1848 cpu-s / 194s wall, identical output).
+        SPARK_GRAFT_JAVA_OPTS=f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(cpus, 2)}",
     )
     if master:
         # e.g. local-cluster[2,4,4096]: SEPARATE executor JVMs — the faithful
@@ -80,11 +109,13 @@ def run_bench(sf_dir: str, cpus: int, replicate: int = 1, master: str | None = N
         stderr=subprocess.DEVNULL,
         text=True,
         env=env,
-        start_new_session=True,  # own pgid -> /proc sampling finds the whole tree
+        start_new_session=True,
     )
-    cpu_max = 0.0
+    cpu_max = {"java": 0.0, "python": 0.0}
     while proc.poll() is None:
-        cpu_max = max(cpu_max, _pgroup_cpu_seconds(proc.pid))
+        s = _tree_cpu_seconds(proc.pid)
+        for k in cpu_max:
+            cpu_max[k] = max(cpu_max[k], s[k])
         time.sleep(2.0)
         if time.time() - t0 > 1800:
             proc.kill()
@@ -94,8 +125,10 @@ def run_bench(sf_dir: str, cpus: int, replicate: int = 1, master: str | None = N
     line = [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
     out["_wall"] = wall
-    out["_cpu_sec"] = cpu_max
-    out["_concurrency"] = cpu_max / out["value"] if out["value"] > 0 else 0.0
+    out["_cpu_sec"] = cpu_max["java"] + cpu_max["python"]
+    out["_cpu_java"] = cpu_max["java"]
+    out["_cpu_python"] = cpu_max["python"]
+    out["_concurrency"] = out["_cpu_sec"] / out["value"] if out["value"] > 0 else 0.0
     return out
 
 
@@ -167,6 +200,14 @@ def main() -> None:
                 "scaling_efficiency_wall": round(speedup / ratio, 3),
                 "low_cpu_sec": round(best_conc[args.low]["_cpu_sec"], 1),
                 "high_cpu_sec": round(best_conc[args.high]["_cpu_sec"], 1),
+                "low_cpu_split": {
+                    "java": round(best_conc[args.low]["_cpu_java"], 1),
+                    "python": round(best_conc[args.low]["_cpu_python"], 1),
+                },
+                "high_cpu_split": {
+                    "java": round(best_conc[args.high]["_cpu_java"], 1),
+                    "python": round(best_conc[args.high]["_cpu_python"], 1),
+                },
                 "low_concurrency": round(conc_lo, 2),
                 "high_concurrency": round(conc_hi, 2),
                 "scaling_efficiency_cpu": round((conc_hi / conc_lo) / ratio, 3) if conc_lo else None,
