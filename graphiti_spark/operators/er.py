@@ -160,8 +160,14 @@ def entity_catalog(mentions: DataFrame) -> DataFrame:
 def candidate_pairs(
     entities: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
+    caches: list | None = None,
 ) -> DataFrame:
-    """Blocked candidate pairs (uuid_a < uuid_b), token-block ∪ MinHash-LSH."""
+    """Blocked candidate pairs (uuid_a < uuid_b), token-block ∪ MinHash-LSH.
+
+    ``caches``: optional sink for the intermediate persist() handles — the
+    caller unpersists them once the ER chain is materialized. Left cached,
+    they inflate the JVM live set for the whole run and every GC pays to
+    re-copy them (measured ~6 GB live -> multi-second young pauses)."""
     base = entities.select(
         "group_id",
         "entity_uuid",
@@ -177,6 +183,8 @@ def candidate_pairs(
         .filter(F.length("tok") >= 2)
         .persist()
     )
+    if caches is not None:
+        caches.append(tok)
     tok_df = tok.groupBy("group_id", "tok").agg(F.count(F.lit(1)).alias("df"))
     tok = tok.join(
         tok_df.filter(F.col("df") <= config.blocking_token_max_df).select("group_id", "tok"),
@@ -221,6 +229,8 @@ def candidate_pairs(
     # stops the bucket-size aggregate and both self-join sides from paying
     # that 8x again.
     banded = banded.persist()
+    if caches is not None:
+        caches.append(banded)
     bucket_sizes = banded.groupBy("group_id", "band", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_n")
     )
@@ -248,6 +258,7 @@ def score_and_filter_pairs(
     entities: DataFrame,
     pairs: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
+    caches: list | None = None,
 ) -> DataFrame:
     """Verify candidates; emit accepted duplicate pairs with scores.
 
@@ -263,6 +274,13 @@ def score_and_filter_pairs(
     # (~300B/entity -> ~3GB per 10^7 entities); beyond that, drop the hint
     # and let AQE pick a shuffled hash join on the same key.
     e = F.broadcast(entities.select("group_id", "entity_uuid", "name_norm", "name_embedding"))
+    # Two consumers traverse the candidate-pair lineage below (the distinct
+    # name-pair branch and the score join-back) — cache the slim uuid-pair
+    # table once so the blocking self-joins don't run twice. ~60 B/row; the
+    # pipeline unpersists it as soon as S5 commits.
+    pairs = pairs.persist()
+    if caches is not None:
+        caches.append(pairs)
     j = (
         pairs.join(
             e.select(
@@ -282,24 +300,45 @@ def score_and_filter_pairs(
             ["group_id", "uuid_b"],
         )
     )
-    # ONE Arrow-batched scoring pass over the candidate pairs: numpy dot
-    # (embeddings are L2-normalized, so cosine == dot), Python-set Jaccard +
-    # compound guard, and difflib gated inside the batch by config-derived
-    # length-ratio bounds (see make_score_pair_udf). The previous pure-Column
-    # version paid 130s of interpreted zip_with/aggregate cosine + 51s of
-    # array_intersect Jaccard on 7.2M pairs; this is one Arrow transfer and
-    # seconds of numpy.
+    # Score each DISTINCT (norm_a, norm_b) string pair ONCE, then join the
+    # scores back to the uuid pairs. Every score component is a pure function
+    # of the two normalized names (the embedding is itself derived from the
+    # norm), and name distributions are zipfian — the same candidate name
+    # pair recurs across thousands of groups at corpus scale (measured
+    # sf0.1x12: 14.4M candidate pairs but ~1.2M distinct name pairs, i.e.
+    # 12x less difflib). Exactness is unaffected; only duplicated work goes.
+    #
+    # One Arrow-batched scorer pass: numpy dot (embeddings are L2-normalized,
+    # so cosine == dot), Python-set Jaccard + compound guard, difflib gated
+    # INSIDE the batch by config-derived length-ratio bounds
+    # (make_score_pair_udf). The earlier pure-Column version paid 130s of
+    # interpreted zip_with/aggregate + 51s of array_intersect on 7.2M pairs.
+    #
+    # The explicit width repartition matters twice: the distinct table is
+    # small in BYTES but python-CPU-heavy per row, so AQE's size-based
+    # coalescing would fold it into 1-2 partitions and run the scorer on 1-2
+    # cores. Hash repartition (deterministic, unlike round-robin) spreads it.
     score_pair_udf = make_score_pair_udf(config)
-    scored = j.select(
-        "group_id",
-        "uuid_a",
-        "uuid_b",
+    width = 3 * pairs.sparkSession.sparkContext.defaultParallelism
+    distinct_names = (
+        j.select("norm_a", "norm_b", "emb_a", "emb_b")
+        .dropDuplicates(["norm_a", "norm_b"])
+        .repartition(width, "norm_a", "norm_b")
+    )
+    name_scores = distinct_names.select(
+        "norm_a",
+        "norm_b",
         score_pair_udf("norm_a", "norm_b", "emb_a", "emb_b").alias("s"),
-    ).select("group_id", "uuid_a", "uuid_b", "s.*")
-    # Materialization barrier: without it, predicate pushdown would inline
-    # the scored columns into every filter branch, and ArrowEvalPython is
-    # never short-circuited by when().
-    scored = scored.persist()
+    ).select("norm_a", "norm_b", "s.*")
+    # Materialization barrier on the (small) distinct-scores table: without
+    # it, predicate pushdown would inline the scored columns into every
+    # filter branch, and ArrowEvalPython is never short-circuited by when().
+    name_scores = name_scores.persist()
+    if caches is not None:
+        caches.append(name_scores)
+    scored = j.select("group_id", "uuid_a", "uuid_b", "norm_a", "norm_b").join(
+        name_scores, ["norm_a", "norm_b"]
+    )
     accepted = scored.filter(
         F.col("compound_guard")
         & (

@@ -214,10 +214,19 @@ def run_pipeline(
         # candidate join and the S7 canonical-node fold — one embedding-UDF
         # pass, not two.
         entities = ledger.materialize("s5_entities", lambda: entity_catalog(mentions_raw))
+        # ER's internal persist() handles (token/band blocks, scored pairs)
+        # are released as soon as s5 commits: left cached they inflate the
+        # JVM live set for the rest of the run and every GC re-copies them.
+        er_caches: list = []
         dup_pairs = ledger.materialize(
             "s5_duplicate_pairs",
-            lambda: score_and_filter_pairs(entities, candidate_pairs(entities, config), config),
+            lambda: score_and_filter_pairs(
+                entities, candidate_pairs(entities, config, caches=er_caches), config,
+                caches=er_caches,
+            ),
         )
+        for _c in er_caches:
+            _c.unpersist(blocking=False)
         uuid_map = ledger.materialize(
             "s6_uuid_map", lambda: connected_components(dup_pairs, config)
         )
