@@ -111,3 +111,25 @@ def test_gate_follows_lowered_config(spark):
     # default config: same pair correctly rejected (ratio < 0.9)
     accepted_def = score_and_filter_pairs(ents, candidate_pairs(ents)).collect()
     assert not any(r["fuzzy"] >= 0.9 for r in accepted_def)
+
+
+def test_distinct_name_scoring_fans_back_to_every_group(spark):
+    # The scorer dedups to distinct (norm_a, norm_b) and joins scores back;
+    # an identical candidate name pair occurring in MANY groups must yield
+    # one accepted pair per group, scored identically (regression for the
+    # distinct-then-join-back rewrite).
+    from graphiti_spark.functions.normalize import normalize_entity_name_col
+
+    rows = []
+    for g in ("g1", "g2", "g3"):
+        for i, n in enumerate(["Graphiti", "Graphitti"]):
+            rows.append((f"e{g}{i}", g, n))
+    mentions = spark.createDataFrame(rows, "episode_uuid string, group_id string, name string")
+    mentions = mentions.withColumn("name_norm", normalize_entity_name_col("name")).withColumn(
+        "entity_uuid",
+        F.udf(lambda n, g: entity_uuid_py(n, g))("name", "group_id"),
+    )
+    ents = entity_catalog(mentions)
+    accepted = score_and_filter_pairs(ents, candidate_pairs(ents)).collect()
+    assert sorted(r["group_id"] for r in accepted) == ["g1", "g2", "g3"]
+    assert len({(round(r["fuzzy"], 6), round(r["cosine"], 6)) for r in accepted}) == 1
