@@ -117,6 +117,9 @@ class StageLedger:
             if manifest.get("config_hash") == self.cfg_hash:
                 self.stages_resumed.append(stage)
                 return self.spark.read.parquet(os.path.join(base, "data"))
+        import time as _time
+
+        _t0 = _time.time()
         df = build()
         if salt_on is not None:
             df = df.repartition(
@@ -141,8 +144,19 @@ class StageLedger:
         )
         lineage.write.mode("overwrite").parquet(os.path.join(base, "lineage"))
         n = out.count()
+        self.timings[stage] = _time.time() - _t0
+        # Manifest = commit record + metrics (north rule: per-partition
+        # lineage + metrics per committed stage).
         with open(manifest_path, "w") as f:
-            json.dump({"stage": stage, "config_hash": self.cfg_hash, "row_count": n}, f)
+            json.dump(
+                {
+                    "stage": stage,
+                    "config_hash": self.cfg_hash,
+                    "row_count": n,
+                    "wall_sec": round(self.timings[stage], 3),
+                },
+                f,
+            )
         self.stages_run.append(stage)
         return out
 
