@@ -127,10 +127,12 @@ def multi_source_bfs(
     ).localCheckpoint(eager=True)
     frontier = dist
     for depth in range(1, max_depth + 1):
+        # No broadcast hint: the combined multi-source frontier is
+        # O(sources x reachable-set) and can exceed the broadcast limit on a
+        # large graph — let AQE pick broadcast only while it is actually
+        # small.
         nxt = (
-            g.join(
-                F.broadcast(frontier.select("source", F.col("uuid").alias("src"))), "src"
-            )
+            g.join(frontier.select("source", F.col("uuid").alias("src")), "src")
             .select("source", F.col("dst").alias("uuid"))
             .dropDuplicates(["source", "uuid"])
             .join(dist.select("source", "uuid"), ["source", "uuid"], "left_anti")

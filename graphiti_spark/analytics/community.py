@@ -36,6 +36,33 @@ def neighbor_projection(
     return bidir.groupBy("u", "v").agg(F.count(F.lit(1)).alias("weight"))
 
 
+def _plurality_vote(
+    adj: DataFrame, labels: DataFrame, restrict_to: DataFrame | None = None
+) -> DataFrame:
+    """One weighted-plurality vote round: each voter (u, restricted to
+    ``restrict_to`` uuids if given) adopts the label with the largest summed
+    neighbor weight, ties to the larger community uuid (reference tie rule,
+    community_operations.py:104-108). The ONE definition shared by full LPA
+    and the incremental delta attach — the 'delta agrees with recompute'
+    guarantee depends on both using this exact ordering."""
+    votes = adj
+    if restrict_to is not None:
+        votes = votes.join(
+            F.broadcast(restrict_to.select(F.col("uuid").alias("u"))), "u"
+        )
+    votes = (
+        votes.join(labels.withColumnRenamed("uuid", "v"), "v")
+        .groupBy(F.col("u").alias("uuid"), "community")
+        .agg(F.sum("weight").alias("w"))
+    )
+    w_rank = Window.partitionBy("uuid").orderBy(F.desc("w"), F.desc("community"))
+    return (
+        votes.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .select("uuid", "community")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src_col: str = "source_node_uuid",
@@ -53,18 +80,7 @@ def label_propagation(
         "community", F.col("uuid")
     ).localCheckpoint(eager=True)
     for _ in range(max_iterations):
-        votes = (
-            adj.join(labels.withColumnRenamed("uuid", "v"), "v")
-            .groupBy(F.col("u").alias("uuid"), "community")
-            .agg(F.sum("weight").alias("w"))
-        )
-        w_rank = Window.partitionBy("uuid").orderBy(F.desc("w"), F.desc("community"))
-        new_labels = (
-            votes.withColumn("_rn", F.row_number().over(w_rank))
-            .filter(F.col("_rn") == 1)
-            .select("uuid", "community")
-            .localCheckpoint(eager=True)
-        )
+        new_labels = _plurality_vote(adj, labels).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "uuid")
@@ -83,40 +99,57 @@ def update_communities(
     edges: DataFrame,
     src_col: str = "source_node_uuid",
     dst_col: str = "target_node_uuid",
+    max_rounds: int = 10,
 ) -> DataFrame:
     """Incremental community update (update_community /
     determine_entity_community, community_operations.py:229-308): nodes in
     the graph but ABSENT from the persisted ``labels`` table adopt the modal
-    community among their already-labeled neighbors, weighted by edge count
-    (the Cypher pattern matches once per RELATES_TO path). Ties break toward
-    the larger community uuid — the same rule as the LPA tie-break, so a
-    delta attach agrees with what a recompute would do. New nodes with no
-    labeled neighbor become their own singleton community (the reference
-    returns None/unassigned; singleton = LPA's behavior for isolated nodes).
+    community among their already-labeled neighbors, weighted by edge count,
+    ties to the larger community uuid — `_plurality_vote`, the same rule as
+    LPA, so a delta attach agrees with what a recompute would do.
 
-    Cost shape: ONE round over the delta — a broadcast semi-join of the new
-    nodes against the adjacency + one grouped vote, instead of re-running
-    LPA over the full graph.
+    Attach rounds repeat (bounded by ``max_rounds``) so a CHAIN of new nodes
+    reaches the labeled graph transitively — the reference's one-node-at-a-
+    time update gets this by sequencing. New nodes whose whole neighborhood
+    is also new (a disconnected new cluster) are resolved by running full
+    LPA on just that remainder subgraph, which is exactly what a recompute
+    would do with it (two connected new nodes share one community, not two
+    singletons).
+
+    Cost shape: a few broadcast-restricted vote rounds over the delta + LPA
+    over only the residual new-new subgraph, instead of re-running LPA over
+    the full graph.
     """
-    adj = neighbor_projection(edges, src_col, dst_col)
+    adj = neighbor_projection(edges, src_col, dst_col).localCheckpoint(eager=True)
     nodes = adj.select(F.col("u").alias("uuid")).dropDuplicates(["uuid"])
-    new_nodes = nodes.join(labels.select("uuid"), "uuid", "left_anti")
-    votes = (
-        adj.join(F.broadcast(new_nodes.withColumnRenamed("uuid", "u")), "u")
-        .join(labels.withColumnRenamed("uuid", "v"), "v")
-        .groupBy(F.col("u").alias("uuid"), "community")
-        .agg(F.sum("weight").alias("w"))
+    unassigned = nodes.join(labels.select("uuid"), "uuid", "left_anti").localCheckpoint(
+        eager=True
     )
-    w_rank = Window.partitionBy("uuid").orderBy(F.desc("w"), F.desc("community"))
-    assigned = (
-        votes.withColumn("_rn", F.row_number().over(w_rank))
-        .filter(F.col("_rn") == 1)
-        .select("uuid", "community")
-    )
-    singleton = new_nodes.join(assigned.select("uuid"), "uuid", "left_anti").withColumn(
-        "community", F.col("uuid")
-    )
-    return labels.unionByName(assigned).unionByName(singleton)
+    out = labels
+    for _ in range(max_rounds):
+        if unassigned.isEmpty():
+            break
+        assigned = _plurality_vote(adj, out, restrict_to=unassigned).localCheckpoint(
+            eager=True
+        )
+        if assigned.isEmpty():
+            break
+        out = out.unionByName(assigned).localCheckpoint(eager=True)
+        unassigned = unassigned.join(assigned.select("uuid"), "uuid", "left_anti").localCheckpoint(
+            eager=True
+        )
+    if not unassigned.isEmpty():
+        # Residual new-new subgraph: both endpoints unlabeled.
+        rem_edges = edges.join(
+            unassigned.select(F.col("uuid").alias(src_col)), src_col, "left_semi"
+        ).join(unassigned.select(F.col("uuid").alias(dst_col)), dst_col, "left_semi")
+        out = out.unionByName(label_propagation(rem_edges, src_col, dst_col))
+        # Nodes with no surviving remainder edge (all their edges touch a
+        # labeled node yet voting never reached them — cannot happen — or
+        # self-loop-only): keep the singleton fallback for safety.
+        leftover = unassigned.join(out.select("uuid"), "uuid", "left_anti")
+        out = out.unionByName(leftover.withColumn("community", F.col("uuid")))
+    return out
 
 
 def build_communities(

@@ -37,7 +37,9 @@ def build_text_index(
     n_buckets: int = 64,
 ) -> None:
     """Write the postings index: <path>/postings (partitioned by term
-    bucket) + <path>/stats (n_docs, avgdl) + <path>/doclen."""
+    bucket) + <path>/stats (n_docs, avgdl). Doc lengths ride on the postings
+    rows (dl column) — no separate doclen table, which would cost an extra
+    full corpus scan per build and is read by nothing."""
     base = docs.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("_toks"))
     base = base.withColumn("dl", F.size("_toks"))
     postings = (
@@ -47,7 +49,6 @@ def build_text_index(
         .withColumn("bucket", F.pmod(F.crc32("term"), F.lit(n_buckets)))
     )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
-    base.select("id", "dl").write.mode("overwrite").parquet(f"{path}/doclen")
     base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).write.mode("overwrite").parquet(f"{path}/stats")

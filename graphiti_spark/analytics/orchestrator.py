@@ -116,26 +116,50 @@ def _rerank(
     edges: DataFrame | None = None,
     mentions: DataFrame | None = None,
     center_uuid: str | None = None,
+    scope: str = "nodes",
 ) -> list:
     if not ranked:
         return []
     fused = rrf(ranked, id_col, rank_const=config.rrf_rank_const)
     if reranker == Reranker.node_distance:
-        if edges is not None and center_uuid:
+        # node_distance is defined over NODE uuids. For the edge scope the
+        # reference groups edges by source node, reranks those nodes by
+        # distance, and emits edges in reranked-source order with the RRF
+        # pre-rank preserved within a source (search.py:267-291).
+        if scope == "edges" and edges is not None and center_uuid:
+            with_src = fused.join(
+                table.select(F.col(id_col), "source_node_uuid"), id_col
+            )
+            out = node_distance_rerank(
+                with_src, edges, center_uuid, id_col="source_node_uuid"
+            )
+            return [r[id_col] for r in out.limit(limit).collect()]
+        if scope == "nodes" and edges is not None and center_uuid:
             out = node_distance_rerank(fused, edges, center_uuid, id_col)
             return [r[id_col] for r in out.limit(limit).collect()]
         warnings.warn(
-            "node_distance reranker needs edges + bfs_origin_uuids (center); "
-            "falling back to RRF order",
+            "node_distance reranker needs a node or edge scope plus edges + "
+            "bfs_origin_uuids (center); falling back to RRF order",
             stacklevel=2,
         )
     elif reranker == Reranker.episode_mentions:
-        if mentions is not None:
+        # For the edge scope the reference sorts edges by how many episodes
+        # cite them, len(edge.episodes) (search.py:294-296); for the node
+        # scope it counts MENTIONS edges per node (search_utils.py:990-1015).
+        if scope == "edges" and "episodes" in table.columns:
+            out = (
+                fused.join(table.select(F.col(id_col), "episodes"), id_col)
+                .withColumn("mention_score", F.size(F.coalesce("episodes", F.array())))
+                .orderBy(F.desc("mention_score"), F.desc("rrf_score"), F.asc(id_col))
+            )
+            return [r[id_col] for r in out.limit(limit).collect()]
+        if scope == "nodes" and mentions is not None:
             out = episode_mentions_rerank(fused, mentions, id_col)
             return [r[id_col] for r in out.limit(limit).collect()]
         warnings.warn(
-            "episode_mentions reranker needs a mentions DataFrame (pass "
-            "search(..., mentions=...)); falling back to RRF order",
+            "episode_mentions reranker needs the node scope with a mentions "
+            "DataFrame (pass search(..., mentions=...)) or the edge scope "
+            "with an episodes column; falling back to RRF order",
             stacklevel=2,
         )
     elif reranker == Reranker.cross_encoder:
@@ -191,7 +215,8 @@ def search(
         results.edges = _rerank(ranked, t, "uuid", "fact_embedding",
                                 config.edge_config.reranker, qvec, config.limit,
                                 text_col="fact", query=query, edges=edges,
-                                mentions=mentions, center_uuid=center)
+                                mentions=mentions, center_uuid=center,
+                                scope="edges")
     if config.node_config and nodes is not None:
         t = apply_search_filters(nodes, filters) if filters else nodes
         ranked = _run_methods(
@@ -202,7 +227,8 @@ def search(
         results.nodes = _rerank(ranked, t, "uuid", "name_embedding",
                                 config.node_config.reranker, qvec, config.limit,
                                 text_col="name", query=query, edges=edges,
-                                mentions=mentions, center_uuid=center)
+                                mentions=mentions, center_uuid=center,
+                                scope="nodes")
     if config.episode_config and episodes is not None:
         ranked = _run_methods(
             episodes, "uuid", "content", None, config.episode_config.search_methods,
@@ -211,7 +237,8 @@ def search(
         results.episodes = _rerank(ranked, episodes, "uuid", None,
                                    config.episode_config.reranker, qvec, config.limit,
                                    text_col="content", query=query,
-                                   mentions=mentions, center_uuid=center)
+                                   mentions=mentions, center_uuid=center,
+                                   scope="episodes")
     if config.community_config and communities is not None:
         ranked = _run_methods(
             communities, "uuid", "summary", "name_embedding",
@@ -221,5 +248,6 @@ def search(
         results.communities = _rerank(ranked, communities, "uuid", "name_embedding",
                                       config.community_config.reranker, qvec, config.limit,
                                       text_col="summary", query=query,
-                                      mentions=mentions, center_uuid=center)
+                                      mentions=mentions, center_uuid=center,
+                                      scope="communities")
     return results

@@ -246,7 +246,9 @@ def node_distance_rerank(
 ) -> DataFrame:
     """Rerank by adjacency to a center node (node_distance_reranker,
     search_utils.py:945-987): distance 1 if adjacent, inf (1e9) otherwise,
-    the center itself 0.1; ascending distance."""
+    the center itself 0.1; ascending distance. Within equal distances the
+    fused upstream order is preserved (the reference's stable sort keeps
+    the RRF pre-rank): rrf_score, when present, is the secondary key."""
     nbrs = (
         edges.filter((F.col(src_col) == center_uuid) | (F.col(dst_col) == center_uuid))
         .select(
@@ -264,7 +266,8 @@ def node_distance_rerank(
         .when(F.col("_nbr").isNotNull(), F.lit(1.0))
         .otherwise(F.lit(1e9)),
     )
-    return out.drop("_nbr").orderBy(F.asc("distance"), F.asc(id_col))
+    sec = [F.desc("rrf_score")] if "rrf_score" in results.columns else []
+    return out.drop("_nbr").orderBy(F.asc("distance"), *sec, F.asc(id_col))
 
 
 def episode_mentions_rerank(
@@ -278,7 +281,8 @@ def episode_mentions_rerank(
         .drop("entity_uuid")
         .withColumn("mention_score", F.coalesce("mention_score", F.lit(0)))
     )
-    return out.orderBy(F.desc("mention_score"), F.asc(id_col))
+    sec = [F.desc("rrf_score")] if "rrf_score" in results.columns else []
+    return out.orderBy(F.desc("mention_score"), *sec, F.asc(id_col))
 
 
 def cross_encoder_rerank(

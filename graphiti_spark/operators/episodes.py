@@ -59,7 +59,10 @@ def episodes_stage(pages: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) ->
     )
     return pages.select(
         episode_uuid_udf(F.col("url")).alias("uuid"),
-        F.when(name == "", F.col("url")).otherwise(name).alias("name"),
+        # NULL-safe fallback: pages with no html (typed message/json sources
+        # synthesize html=NULL) yield a NULL title, not "" — both fall back
+        # to the url.
+        F.when(name.isNull() | (name == ""), F.col("url")).otherwise(name).alias("name"),
         group_id_col("url").alias("group_id"),
         source.alias("source"),
         source_desc.alias("source_description"),

@@ -79,9 +79,12 @@ def upsert_table(
     - otherwise `target` is a path: EXECUTED merge-by-rewrite with the same
       WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT semantics — existing
       rows whose key appears in the source are replaced, all other existing
-      rows survive. The rewrite stages to a sibling temp dir and swaps, so
-      a reader never sees a half-written table (rename-level atomicity; the
-      real catalog gives true snapshot isolation).
+      rows survive. The rewrite stages to a sibling temp dir and swaps via
+      two renames. A reader never sees a HALF-WRITTEN table, but POSIX dirs
+      cannot make the two renames one atom: a concurrent read in the gap
+      sees a missing path, and a crash in the gap strands the previous data
+      under `._old_` — the next upsert_table call RECOVERS it before
+      merging. True snapshot isolation needs the real catalog.
     """
     import shutil
     import uuid as _uuid
@@ -91,6 +94,16 @@ def upsert_table(
         deduped.createOrReplaceTempView("_upsert_source")
         spark.sql(merge_into_sql(target, "_upsert_source", deduped.columns, key))
         return
+    # Crash recovery: a prior run killed between rename(target, old) and
+    # rename(tmp, target) leaves no target but a stranded ._old_ — restore
+    # the last committed table so its rows are not silently dropped.
+    if not os.path.isdir(target):
+        parent = os.path.dirname(target) or "."
+        prefix = os.path.basename(target) + "._old_"
+        if os.path.isdir(parent):
+            stranded = sorted(d for d in os.listdir(parent) if d.startswith(prefix))
+            if stranded:
+                os.rename(os.path.join(parent, stranded[-1]), target)
     merged = deduped
     if os.path.isdir(target):
         existing = spark.read.parquet(target)
