@@ -803,7 +803,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS uuid, min(v) AS canonical_uuid FROM reach GROUP BY u HAVING min(v) < u
         """,
         "embedding_cosine_pairs": f"""
-            WITH e AS (SELECT vec_id, embedding, {_SIG8} AS sig FROM embeddings),
+            WITH e0 AS (SELECT vec_id, embedding, {_SIG8} AS sig FROM embeddings),
+            -- sign-bucket frequency cap (mirror of dedup.embedding_cosine_pairs bucket_cap=1000)
+            kept AS (SELECT sig FROM (SELECT sig, count(*) AS n FROM e0 GROUP BY sig)
+                     WHERE n <= 1000),
+            e AS (SELECT e0.* FROM e0 JOIN kept USING (sig)),
             cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                             a.embedding AS ea, b.embedding AS eb
                      FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id),

@@ -5,8 +5,11 @@ Parity target: ``label_propagation``
 via the neighbor projection of ``get_community_clusters`` (:28-75):
  - projection: RELATES_TO edge counts per (src, dst) pair,
  - each node adopts the plurality label among neighbors, weighted by edge
-   count; ties break toward the LARGER community id (:104-108 — we mirror
-   with max label id on equal weight),
+   count; ties break toward the LARGER community id, and a weak plurality
+   (top vote weight <= 1) falls back to max(candidate, current) instead of
+   adopting outright (:101-106 — we mirror with max label id on equal
+   weight and the same weak-vote fallback, so weight-1 two-node islands
+   converge to the max label instead of oscillating),
  - iterate synchronously until no label changes (or max_iter).
 
 Community build (build_community, :152-191) is a deterministic reduce here:
@@ -40,11 +43,16 @@ def _plurality_vote(
     adj: DataFrame, labels: DataFrame, restrict_to: DataFrame | None = None
 ) -> DataFrame:
     """One weighted-plurality vote round: each voter (u, restricted to
-    ``restrict_to`` uuids if given) adopts the label with the largest summed
-    neighbor weight, ties to the larger community uuid (reference tie rule,
-    community_operations.py:104-108). The ONE definition shared by full LPA
-    and the incremental delta attach — the 'delta agrees with recompute'
-    guarantee depends on both using this exact ordering."""
+    ``restrict_to`` uuids if given) takes the label with the largest summed
+    neighbor weight, ties to the larger community uuid; then applies the
+    reference's weak-plurality fallback (community_operations.py:101-106):
+    the candidate is adopted outright only when its vote weight is > 1,
+    otherwise the voter takes max(candidate, current label). A voter with no
+    current label (the incremental attach path, determine_entity_community
+    :229-308, which is plain modal vote) adopts the candidate — ``greatest``
+    ignores the null current. The ONE definition shared by full LPA and the
+    incremental delta attach — the 'delta agrees with recompute' guarantee
+    depends on both using this exact ordering."""
     votes = adj
     if restrict_to is not None:
         votes = votes.join(
@@ -56,10 +64,20 @@ def _plurality_vote(
         .agg(F.sum("weight").alias("w"))
     )
     w_rank = Window.partitionBy("uuid").orderBy(F.desc("w"), F.desc("community"))
-    return (
+    top = (
         votes.withColumn("_rn", F.row_number().over(w_rank))
         .filter(F.col("_rn") == 1)
-        .select("uuid", "community")
+        .select("uuid", F.col("community").alias("_cand"), "w")
+    )
+    cur = labels.select("uuid", F.col("community").alias("_cur"))
+    return (
+        top.join(cur, "uuid", "left")
+        .select(
+            "uuid",
+            F.when(F.col("w") > 1, F.col("_cand"))
+            .otherwise(F.greatest("_cand", "_cur"))
+            .alias("community"),
+        )
     )
 
 
@@ -72,8 +90,9 @@ def label_propagation(
     """(uuid, community) — synchronous LPA (community_operations.py:78-123).
 
     Initial label = own uuid. Per round: label <- argmax_w(sum weight of
-    neighbors with that label), ties to the larger label (reference tie rule
-    :104-108). Stops when no label changed.
+    neighbors with that label), ties to the larger label; weak plurality
+    (w <= 1) falls back to max(candidate, current) (reference rule
+    :101-106). Stops when no label changed.
     """
     adj = neighbor_projection(edges, src_col, dst_col).localCheckpoint(eager=True)
     labels = adj.select(F.col("u").alias("uuid")).dropDuplicates(["uuid"]).withColumn(

@@ -110,19 +110,58 @@ def assert_unique(df: DataFrame, key: str = "uuid", sample: int = 5) -> None:
         raise ValueError(f"uniqueness constraint violated on '{key}': {keys}")
 
 
+def _refresh_stage_meta(spark: SparkSession, stage_base: str) -> None:
+    """After a group purge, re-commit the stage's manifest + lineage against
+    the PRUNED data so a later resume sees accurate row counts instead of
+    the pre-purge ones (stale manifests made resume treat pruned tables as
+    fully committed — ADVICE r2)."""
+    import json
+    import os
+
+    manifest_path = os.path.join(stage_base, "_manifest.json")
+    data_path = os.path.join(stage_base, "data")
+    if not os.path.exists(manifest_path):
+        return
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    if not os.path.isdir(data_path):
+        os.remove(manifest_path)
+        return
+    out = spark.read.parquet(data_path)
+    manifest["row_count"] = out.count()
+    lineage_path = os.path.join(stage_base, "lineage")
+    if os.path.isdir(lineage_path):
+        (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("row_count"))
+            .withColumn("stage", F.lit(manifest.get("stage")))
+            .withColumn("config_hash", F.lit(manifest.get("config_hash")))
+            .write.mode("overwrite")
+            .parquet(lineage_path)
+        )
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+
+
 def clear_data(
     spark: SparkSession,
     output_dir: str,
     group_ids: list[str] | None = None,
 ) -> list[str]:
     """``clear_data`` parity (graph_data_operations.py:33-63: DETACH DELETE
-    all nodes, or per group_id). On the parquet layout: remove every stage
-    table under ``output_dir``; with ``group_ids``, drop ONLY those groups'
-    partition directories (the group_id-partitioned stages) — a partition-
-    level delete, no rewrite of surviving data. Returns removed paths."""
+    all nodes, or per group_id — the reference removes ALL of a group's
+    data). On the parquet layout: remove every stage table under
+    ``output_dir``; with ``group_ids``, purge those groups from EVERY stage:
+    group_id-partitioned stages get a partition-directory delete (no rewrite
+    of surviving data), non-partitioned stages carrying a ``group_id``
+    column get a filtered staged-swap rewrite, and each touched stage's
+    manifest/lineage is re-committed against the pruned data. Stages with
+    no ``group_id`` column are global derivations (e.g. stats) and are left
+    as-is. Returns removed/rewritten paths."""
     import glob
     import os
     import shutil
+    import uuid as _uuid
 
     removed: list[str] = []
     if group_ids is None:
@@ -130,8 +169,38 @@ def clear_data(
             shutil.rmtree(entry, ignore_errors=True)
             removed.append(entry)
         return removed
-    for gid in group_ids:
-        for part_dir in sorted(glob.glob(os.path.join(output_dir, "*", "data", f"group_id={gid}"))):
-            shutil.rmtree(part_dir, ignore_errors=True)
-            removed.append(part_dir)
+    for stage_base in sorted(glob.glob(os.path.join(output_dir, "*"))):
+        data_path = os.path.join(stage_base, "data")
+        if not os.path.isdir(data_path):
+            continue
+        part_dirs = [
+            p
+            for gid in group_ids
+            for p in [os.path.join(data_path, f"group_id={gid}")]
+            if os.path.isdir(p)
+        ]
+        is_partitioned = any(
+            d.startswith("group_id=") for d in os.listdir(data_path)
+        )
+        if is_partitioned:
+            for p in part_dirs:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+            _refresh_stage_meta(spark, stage_base)
+            continue
+        try:
+            df = spark.read.parquet(data_path)
+        except Exception:
+            continue
+        if "group_id" not in df.columns:
+            continue
+        pruned = df.filter(~F.col("group_id").isin(group_ids))
+        if pruned.count() == df.count():
+            continue  # no rows of these groups here
+        tmp = f"{data_path}._staged_{_uuid.uuid4().hex[:8]}"
+        pruned.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(data_path, ignore_errors=True)
+        os.rename(tmp, data_path)
+        removed.append(data_path)
+        _refresh_stage_meta(spark, stage_base)
     return removed

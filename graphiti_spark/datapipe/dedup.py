@@ -106,6 +106,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     jaccard_threshold: float = 0.7,
     bucket_cap: int = 1000,
+    caches: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact-Jaccard verify.
 
@@ -113,6 +114,11 @@ def minhash_lsh_pairs(
     precision restored by the exact token-Jaccard verification. Returns
     (id_a, id_b, jaccard) with id_a < id_b. Bucket frequency cap bounds
     worst-case fan-out under skew (boilerplate pages hashing identically).
+
+    ``caches``: optional sink for the persisted signature handle — the
+    caller unpersists it once the result is materialized (er.py pattern:
+    left cached, repeated dedup calls in one session accumulate blocks and
+    GC re-copies the live set every cycle).
     """
     # ONE Arrow-batched signature pass, persisted: every downstream consumer
     # (band unpivot, bucket-size agg, both self-join sides, the verify joins)
@@ -123,6 +129,8 @@ def minhash_lsh_pairs(
         F.array_distinct(tokens_col(text_col)).alias("_tokset"),
         sig(tokens_col(text_col)).alias("_sig"),
     ).persist()
+    if caches is not None:
+        caches.append(sigs)
     # posexplode unpivots all bands in one pass (no 8-way union re-evaluation)
     bands = sigs.select("_id", F.posexplode("_sig").alias("band", "band_hash"))
     sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("n"))
@@ -167,6 +175,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     slices: int = 4,
     slice_cap: int = 1000,
+    caches: list | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: slice the fingerprint into `slices` bands
     (pigeonhole: hamming <= slices-1 guarantees one identical slice; with
@@ -177,12 +186,17 @@ def simhash_pairs(
     slice value (boilerplate-heavy corpora collapse to a few fingerprints)
     fans out O(B^2) candidate pairs; buckets above the cap are dropped from
     blocking, bounding worst-case shuffle fan-out at corpus scale (same
-    hygiene as ``bucket_cap`` in the MinHash path)."""
+    hygiene as ``bucket_cap`` in the MinHash path).
+
+    ``caches``: optional sink for the persisted fingerprint handle — caller
+    unpersists after materializing (see minhash_lsh_pairs)."""
     fp = (
         simhash_fingerprints(docs, id_col, text_col, bits)
         .withColumnRenamed(id_col, "_id")
         .persist()  # fingerprint UDF runs once, not once per self-join side
     )
+    if caches is not None:
+        caches.append(fp)
     width = bits // slices
     mask = (1 << width) - 1
     # one pass: explode precomputed (slice_idx, slice_val) structs
@@ -286,6 +300,7 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_probe_dims: int = 8,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold) with sign-LSH blocking.
 
@@ -294,6 +309,16 @@ def embedding_cosine_pairs(
     SQL-twin-able). For threshold >= 0.95 the sign pattern of near-identical
     vectors matches on all-but-noise dims, so candidates recall ~1; the
     brute-force variant in simsearch.py is the exactness baseline.
+
+    Skew hygiene (same as every sibling blocker): the self-join fans out
+    O(B^2) pairs per sign bucket, and real embedding distributions are
+    anisotropic — most vectors share head-dimension signs, so one hot
+    pattern can hold a large corpus fraction. ``bucket_cap`` drops sign
+    buckets with more than that many members from blocking, bounding
+    worst-case fan-out at cap^2/2 pairs per bucket regardless of corpus
+    size. Size ``n_probe_dims`` with the corpus (2^dims buckets): ~8 for
+    <=1e6 vectors, 16-24 at web scale, so expected bucket population stays
+    near n/2^dims and under the cap for all but pathological skew.
     """
     from graphiti_spark.functions.embeddings import cosine_col
 
@@ -305,6 +330,8 @@ def embedding_cosine_pairs(
         ],
     )
     e = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig"))
+    sizes = e.groupBy("_sig").agg(F.count(F.lit(1)).alias("n"))
+    e = e.join(sizes.filter(F.col("n") <= bucket_cap).select("_sig"), "_sig")
     cand = (
         e.alias("a")
         .join(e.alias("b"), "_sig")

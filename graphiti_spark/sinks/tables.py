@@ -79,7 +79,9 @@ def upsert_table(
     - otherwise `target` is a path: EXECUTED merge-by-rewrite with the same
       WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT semantics — existing
       rows whose key appears in the source are replaced, all other existing
-      rows survive. The rewrite stages to a sibling temp dir and swaps via
+      rows survive; a column present only in the target is preserved (NULL
+      for inserted rows), matching MERGE INTO's update-only-listed-columns
+      semantics. The rewrite stages to a sibling temp dir and swaps via
       two renames. A reader never sees a HALF-WRITTEN table, but POSIX dirs
       cannot make the two renames one atom: a concurrent read in the gap
       sees a missing path, and a crash in the gap strands the previous data
@@ -96,24 +98,37 @@ def upsert_table(
         return
     # Crash recovery: a prior run killed between rename(target, old) and
     # rename(tmp, target) leaves no target but a stranded ._old_ — restore
-    # the last committed table so its rows are not silently dropped.
-    if not os.path.isdir(target):
-        parent = os.path.dirname(target) or "."
-        prefix = os.path.basename(target) + "._old_"
-        if os.path.isdir(parent):
-            stranded = sorted(d for d in os.listdir(parent) if d.startswith(prefix))
+    # the last committed table so its rows are not silently dropped. A crash
+    # DURING the staged write (before any rename) instead strands a
+    # ._staged_<hex> dir: the target is still the committed table, so the
+    # orphan is garbage — sweep it here so retries don't accumulate dirs.
+    parent = os.path.dirname(target) or "."
+    base = os.path.basename(target)
+    if os.path.isdir(parent):
+        if not os.path.isdir(target):
+            stranded = sorted(d for d in os.listdir(parent) if d.startswith(base + "._old_"))
             if stranded:
                 os.rename(os.path.join(parent, stranded[-1]), target)
+        for d in os.listdir(parent):
+            if d.startswith(base + "._staged_"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     merged = deduped
     if os.path.isdir(target):
         existing = spark.read.parquet(target)
-        # align schemas: rows keep the union of columns, source wins shape
+        # Schema = UNION of both sides (Iceberg MERGE INTO alignment): a
+        # column the source lacks is NOT dropped — existing rows keep it,
+        # matched rows inherit their prior value (UPDATE SET touches only
+        # source columns), inserted rows get NULL.
+        tgt_only = [c for c in existing.columns if c not in deduped.columns]
         for c in deduped.columns:
             if c not in existing.columns:
                 existing = existing.withColumn(c, F.lit(None).cast(deduped.schema[c].dataType))
-        existing = existing.select(deduped.columns)
-        survivors = existing.join(deduped.select(key), key, "left_anti")
-        merged = survivors.unionByName(deduped)
+        out_cols = existing.columns
+        incoming = deduped
+        if tgt_only:
+            incoming = deduped.join(existing.select(key, *tgt_only), key, "left")
+        survivors = existing.join(deduped.select(key), key, "left_anti").select(out_cols)
+        merged = survivors.unionByName(incoming.select(out_cols))
     tmp = f"{target}._staged_{_uuid.uuid4().hex[:8]}"
     writer = merged.write.mode("overwrite")
     if partition_by:

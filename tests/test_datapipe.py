@@ -84,6 +84,37 @@ def test_embedding_cosine_pairs(spark):
     assert out == {(1, 2)}
 
 
+def test_embedding_cosine_pairs_bucket_cap_defuses_hot_sign_pattern(spark):
+    """One hot sign pattern (anisotropic embeddings: most vectors share
+    head-dim signs) must not fan out O(B^2): buckets over ``bucket_cap``
+    are dropped from blocking, cold buckets still pair (VERDICT r2 #2)."""
+    hot = [(i, [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, float(i)]) for i in range(20)]
+    cold = [
+        (100, [-1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.1]),
+        (101, [-1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.11]),
+    ]
+    df = spark.createDataFrame(hot + cold, "vec_id long, embedding array<float>")
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(df, threshold=0.5, bucket_cap=10).collect()
+    }
+    assert (100, 101) in out  # cold bucket unaffected
+    assert not any(a < 100 and b < 100 for a, b in out)  # hot bucket dropped entirely
+
+
+def test_dedup_caches_plumbing_unpersists(spark):
+    """minhash_lsh_pairs / simhash_pairs hand their persist() handles to the
+    caller via ``caches`` so repeated calls don't accumulate cached blocks
+    (ADVICE r2)."""
+    caches: list = []
+    minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5, caches=caches).count()
+    simhash_pairs(_docs(spark), max_hamming=3, caches=caches).count()
+    assert len(caches) == 2 and all(c.storageLevel.useMemory for c in caches)
+    for c in caches:
+        c.unpersist()
+    assert all(not c.storageLevel.useMemory for c in caches)
+
+
 def test_brute_force_topk(spark):
     rows = [(1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 1.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

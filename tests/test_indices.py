@@ -50,7 +50,14 @@ def test_assert_unique(spark):
         assert_unique(bad)
 
 
-def test_clear_data_group_partitions(tmp_path, spark):
+def test_clear_data_purges_group_from_every_stage(tmp_path, spark):
+    """Reference clear_data removes ALL of a group's data (DETACH DELETE).
+    Group rows must vanish from partitioned AND non-group-partitioned
+    stages, and touched manifests must be re-committed against the pruned
+    tables (ADVICE r2)."""
+    import glob
+    import json
+
     from graphiti_spark.plans.pipeline import run_pipeline
     from graphiti_spark.synth import pages_from_documents
 
@@ -59,10 +66,24 @@ def test_clear_data_group_partitions(tmp_path, spark):
     out = run_pipeline(spark, pages, output_dir=out_dir)
     groups = [r["group_id"] for r in out["nodes"].select("group_id").distinct().limit(2).collect()]
     removed = clear_data(spark, out_dir, group_ids=[groups[0]])
-    assert removed and all(f"group_id={groups[0]}" in p for p in removed)
+    assert removed
+    for stage_base in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        data_path = os.path.join(stage_base, "data")
+        if not os.path.isdir(data_path):
+            continue
+        df = spark.read.parquet(data_path)
+        if "group_id" not in df.columns:
+            continue
+        n_gone = df.filter(df["group_id"] == groups[0]).count()
+        assert n_gone == 0, f"{stage_base} still holds {n_gone} rows of cleared group"
+        # manifest row_count re-committed to match the pruned table
+        manifest_path = os.path.join(stage_base, "_manifest.json")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                assert json.load(f)["row_count"] == df.count()
     nodes = spark.read.parquet(os.path.join(out_dir, "s7_nodes", "data"))
     remaining = {r["group_id"] for r in nodes.select("group_id").distinct().collect()}
     assert groups[0] not in remaining and groups[1] in remaining
     # full clear removes every stage dir
-    removed_all = clear_data(spark, out_dir)
+    clear_data(spark, out_dir)
     assert not os.listdir(out_dir) or not any(os.scandir(out_dir))

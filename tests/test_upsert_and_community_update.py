@@ -39,6 +39,36 @@ def test_upsert_table_merge_semantics(tmp_path, spark):
     assert not [d for d in os.listdir(tmp_path) if "_staged_" in d or "_old_" in d]
 
 
+def test_upsert_table_preserves_target_only_columns(tmp_path, spark):
+    """MERGE INTO updates only the listed (source) columns — a column the
+    incoming batch lacks must survive on ALL rows: matched rows keep their
+    prior value, inserted rows get NULL (ADVICE r2)."""
+    target = str(tmp_path / "t")
+    first = spark.createDataFrame(
+        [("a", "Alice", 0.9), ("b", "Bob", 0.1)], "uuid string, name string, score double"
+    )
+    upsert_table(spark, first, target)
+    second = spark.createDataFrame([("b", "Bobby"), ("c", "Cara")], "uuid string, name string")
+    upsert_table(spark, second, target)
+    rows = {r["uuid"]: r for r in spark.read.parquet(target).collect()}
+    assert rows["a"]["score"] == 0.9  # untouched row keeps it
+    assert rows["b"]["score"] == 0.1 and rows["b"]["name"] == "Bobby"  # matched keeps it
+    assert rows["c"]["score"] is None  # inserted gets NULL
+
+
+def test_upsert_table_sweeps_stranded_staged_dirs(tmp_path, spark):
+    """A crash during the staged write (before any rename) strands a
+    ._staged_<hex> sibling; the next upsert must sweep it (ADVICE r2)."""
+    import os
+
+    target = str(tmp_path / "t")
+    upsert_table(spark, spark.createDataFrame([("a", 1)], "uuid string, v int"), target)
+    os.makedirs(target + "._staged_deadbeef")
+    upsert_table(spark, spark.createDataFrame([("b", 2)], "uuid string, v int"), target)
+    assert not [d for d in os.listdir(tmp_path) if "_staged_" in d]
+    assert {r["uuid"] for r in spark.read.parquet(target).collect()} == {"a", "b"}
+
+
 def test_upsert_table_resume_idempotent(tmp_path, spark):
     """Replaying the same batch converges (AtomicCentralityStorage resume
     analog, atomic_centrality_storage.py:192)."""
@@ -76,9 +106,29 @@ def test_update_communities_matches_recompute(spark):
         assert updated[k] == v
 
 
-def test_update_communities_isolated_node_singleton(spark):
+def test_update_communities_isolated_island_merges(spark):
+    """A disconnected new pair resolves by LPA over the residual subgraph:
+    with the reference's weak-plurality fallback (max(candidate, current)
+    when top vote weight <= 1, community_operations.py:101-106) a weight-1
+    two-node island converges to ONE community at the max label — same as a
+    full recompute — instead of oscillating into parity-dependent
+    singletons."""
     base = [("a", "b")]
     labels0 = label_propagation(_edges(spark, base))
     delta = base + [("x", "y")]  # x-y island: no labeled neighbors
     updated = {r["uuid"]: r["community"] for r in update_communities(labels0, _edges(spark, delta)).collect()}
-    assert updated["x"] == "x" and updated["y"] == "y"
+    assert updated["x"] == updated["y"] == "y"
+    # and it matches what the recompute does with the same island
+    recomputed = {r["uuid"]: r["community"] for r in label_propagation(_edges(spark, delta)).collect()}
+    assert _partition(updated) == _partition(recomputed)
+
+
+def test_lpa_weight1_island_converges_to_max_label(spark):
+    """Direct LPA pin of the weak-plurality rule: a<->b (weight 1 each way)
+    must merge to max(a, b), not depend on max_iterations parity."""
+    for max_iter in (3, 4):  # both parities — oscillation would flip these
+        labels = {
+            r["uuid"]: r["community"]
+            for r in label_propagation(_edges(spark, [("a", "b")]), max_iterations=max_iter).collect()
+        }
+        assert labels == {"a": "b", "b": "b"}
