@@ -364,7 +364,12 @@ def _q_minhash_signatures(spark, sf_dir):
 def _q_minhash_lsh_pairs(spark, sf_dir):
     from graphiti_spark.datapipe.dedup import minhash_lsh_pairs
 
-    out = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), num_hashes=8, jaccard_threshold=0.95)
+    out = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=8,
+        jaccard_threshold=0.95,
+        rows_per_band=2,
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -756,7 +761,9 @@ def oracle_sql() -> dict[str, str]:
             sigs AS (SELECT doc_id, list_distinct(tk) AS tkset,
                             {", ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
                      FROM toks),
-            bands AS ({" UNION ALL ".join(f"SELECT doc_id, {i} AS band, mh{i} AS band_hash FROM sigs" for i in range(8))}),
+            -- rows_per_band=2: band key = mh(2i) || ':' || mh(2i+1); || propagates
+            -- NULL like Spark F.concat, so empty-doc NULL sigs never collide
+            bands AS ({" UNION ALL ".join(f"SELECT doc_id, {i} AS band, CAST(mh{2 * i} AS VARCHAR) || ':' || CAST(mh{2 * i + 1} AS VARCHAR) AS band_hash FROM sigs" for i in range(4))}),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                      FROM bands a JOIN bands b
                        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),

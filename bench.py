@@ -91,7 +91,10 @@ def main() -> None:
     from graphiti_spark.analytics.centrality import degree_centrality, pagerank
 
     timed("exact_dedup", lambda: exact_dedup(docs).count())
-    timed("minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs, jaccard_threshold=0.95).count())
+    timed(
+        "minhash_lsh_pairs",
+        lambda: minhash_lsh_pairs(docs, jaccard_threshold=0.95, rows_per_band=2).count(),
+    )
     timed("simhash_pairs", lambda: simhash_pairs(docs, max_hamming=3).count())
     timed("text_profile", lambda: profile_documents(docs).count())
     timed("bm25_search", lambda: bm25_scores(docs, "doc_id", "text", ["spark", "join", "filter"]).count())

@@ -82,7 +82,16 @@ def minhash_sig_udf(num_hashes: int):
     + hashlib over DISTINCT tokens computes all hashes in a single pass;
     the result is persisted/reused by callers. Empty/None token arrays yield
     all-NULL signatures, matching ``array_min`` over an empty array.
+
+    Token->hash-family results are memoized in a per-worker dict that
+    persists across Arrow batches: corpus token distributions are zipfian,
+    so the head vocabulary ('the', 'and', boilerplate terms) re-hashes on
+    nearly every row — the same insight as the ER distinct-name-pair
+    rewrite (er.py). Bounded (cleared past ~2M entries) so a huge tail
+    vocabulary cannot exhaust worker memory.
     """
+
+    memo: dict[str, tuple] = {}  # closure state: lives for the task/worker
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(toks: pd.Series) -> pd.Series:
@@ -91,10 +100,16 @@ def minhash_sig_udf(num_hashes: int):
             if arr is None or len(arr) == 0:
                 out.append([None] * num_hashes)
                 continue
-            ts = set(arr)
-            out.append(
-                [min(_md5_long_py(f"{i}:{t}") for t in ts) for i in range(num_hashes)]
-            )
+            if len(memo) > 2_000_000:
+                memo.clear()
+            rows = []
+            for t in set(arr):
+                hs = memo.get(t)
+                if hs is None:
+                    hs = tuple(_md5_long_py(f"{i}:{t}") for i in range(num_hashes))
+                    memo[t] = hs
+                rows.append(hs)
+            out.append(list(map(min, zip(*rows))))
         return pd.Series(out)
 
     return _sig
@@ -107,8 +122,10 @@ def simhash_udf(bits: int = 32):
     Replaces the interpreted 32-pass ``aggregate()`` fold (each bit re-walked
     the md5-hashed token array; 447.4s at sf0.1 in BENCH_r01): one hashlib
     pass per distinct token, occurrence-weighted numpy bit-count fold for all
-    bits at once.
+    bits at once. Token hashes are memoized across rows/batches (zipfian
+    head vocabulary — see minhash_sig_udf), bounded at ~2M entries.
     """
+    memo: dict[str, int] = {}  # closure state: lives for the task/worker
 
     @F.pandas_udf(LongType())
     def _fp(toks: pd.Series) -> pd.Series:
@@ -119,13 +136,20 @@ def simhash_udf(bits: int = 32):
         for i, arr in enumerate(toks):
             if arr is None or len(arr) == 0:
                 continue
+            if len(memo) > 2_000_000:
+                memo.clear()
             # duplicates contribute once per occurrence -> weight by count
             counts: dict[str, int] = {}
             for t in arr:
                 counts[t] = counts.get(t, 0) + 1
-            hs = np.fromiter(
-                (_md5_long_py(t) for t in counts), dtype=np.uint64, count=len(counts)
-            )
+            hlist = []
+            for t in counts:
+                h = memo.get(t)
+                if h is None:
+                    h = _md5_long_py(t)
+                    memo[t] = h
+                hlist.append(h)
+            hs = np.array(hlist, dtype=np.uint64)
             w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
             bitmat = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
             sums = ((2 * bitmat - 1) * w[:, None]).sum(axis=0)

@@ -60,6 +60,26 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert not any(4 in p or 5 in p for p in got)
 
 
+def test_minhash_lsh_rows_per_band(spark):
+    """r=2 banding: exact dups still pair (every band key matches); empty
+    docs never pair (F.concat propagates the NULL signature — a concat_ws
+    key would collapse all empty docs onto the same '' bucket)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, ""),
+        (4, ""),
+        (5, "unrelated words entirely here about engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.99, rows_per_band=2).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, num_hashes=8, rows_per_band=3)
+
+
 def test_simhash_pairs_near_dup(spark):
     pairs = simhash_pairs(_docs(spark), max_hamming=3).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
