@@ -83,6 +83,53 @@ _COS = (
 )
 
 
+def _lloyd_round(n: int, prev: str) -> str:
+    """One deterministic Lloyd round as DuckDB CTEs (twin of
+    simsearch.train_ivf_centroids): argmax-cosine assignment (ties -> lower
+    cell, mirroring the strictly-greater update), per-dimension mean
+    ROUNDED to 6dp (erases float-aggregation-order drift between engines),
+    empty cells keep the previous centroid."""
+    cos = _COS.format(a="e.embedding", b="c.cv")
+    return f"""
+            a{n} AS (SELECT e.vec_id, e.embedding, c.cid, {cos} AS cs
+                     FROM embeddings e CROSS JOIN {prev} c),
+            b{n} AS (SELECT vec_id, embedding, cid FROM
+                       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM a{n})
+                     WHERE rn = 1),
+            m{n} AS (SELECT cid, idx, round(avg(CAST(val AS DOUBLE)), 6) AS m FROM
+                       (SELECT cid, unnest(embedding) AS val,
+                               generate_subscripts(embedding, 1) AS idx FROM b{n})
+                     GROUP BY cid, idx),
+            g{n} AS (SELECT cid, list(m ORDER BY idx) AS cv FROM m{n} GROUP BY cid),
+            c{n} AS (SELECT p.cid, coalesce(g{n}.cv, CAST(p.cv AS DOUBLE[])) AS cv
+                     FROM {prev} p LEFT JOIN g{n} USING (cid))"""
+
+
+# Trained-IVF twin: md5-ordered seeds, 2 Lloyd rounds, n_probe=2, top 20 —
+# the SQL restatement of train_ivf_centroids + ivf_topk at k=4.
+_IVF_TRAINED_SQL = f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            s0 AS (SELECT row_number() OVER (ORDER BY h, vid) - 1 AS cid, cv FROM
+                     (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id AS vid, embedding AS cv
+                      FROM embeddings ORDER BY 1, 2 LIMIT 4)),
+            {_lloyd_round(1, "s0")},
+            {_lloyd_round(2, "c1")},
+            probe AS (SELECT cid FROM c2 CROSS JOIN q
+                      ORDER BY {_COS.format(a="c2.cv", b="q.qv")} DESC, cid LIMIT 2),
+            af AS (SELECT e.vec_id, e.embedding, c.cid,
+                          {_COS.format(a="e.embedding", b="c.cv")} AS cs
+                   FROM embeddings e CROSS JOIN c2 c),
+            bf AS (SELECT vec_id, embedding, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM af)
+                   WHERE rn = 1),
+            pf AS (SELECT b.vec_id, b.embedding FROM bf b JOIN probe USING (cid)),
+            sc AS (SELECT p.vec_id, {_COS.format(a="p.embedding", b="q.qv")} AS score
+                   FROM pf p CROSS JOIN q)
+            SELECT vec_id, round(score, 6) AS score
+            FROM (SELECT * FROM sc ORDER BY score DESC, vec_id LIMIT 20)
+"""
+
+
 # ---------------------------------------------------------------------------
 # loaders + pipeline cache
 # ---------------------------------------------------------------------------
@@ -442,6 +489,18 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def _q_ann_ivf_trained_topk(spark, sf_dir):
+    """IVF with TRAINED centroids: deterministic k-means (md5-ordered seeds,
+    2 Lloyd rounds, per-dim means rounded to 6dp) then n_probe=2 search —
+    the full train+search path, not caller-supplied cells (VERDICT r2 #7)."""
+    from graphiti_spark.datapipe.simsearch import ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, k=4, n_iter=2)
+    out = ivf_topk(emb, cents, _query_vec(spark, sf_dir), k=20, n_probe=2)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def _q_text_profile(spark, sf_dir):
     from graphiti_spark.datapipe.textanalysis import profile_documents
 
@@ -564,6 +623,17 @@ def _q_normalize_names(spark, sf_dir):
     )
 
 
+def _q_normalize_names_enhanced(spark, sf_dir):
+    """Enhanced identity normalization (uuid_utils.py:99-155): the uuid5
+    identity default — NFKD, possessive/contraction folding, title/suffix/
+    company-indicator skipping, abbreviation expansion, original fallback."""
+    from graphiti_spark.functions.ids import identity_normalize_udf
+
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", identity_normalize_udf("p_name").alias("name_norm")
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     from graphiti_spark.datapipe.multimodal import attach_payloads, extract_features
 
@@ -615,12 +685,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_trained_topk": _q_ann_ivf_trained_topk,
         # --- text analysis ---
         "text_profile": _q_text_profile,
         "lang_scores": _q_lang_scores,
         "quality_filter": _q_quality_filter,
         "token_budget": _q_token_budget,
         "normalize_names": _q_normalize_names,
+        "normalize_names_enhanced": _q_normalize_names_enhanced,
         "relevance_feedback": _q_relevance_feedback,
         # --- multimodal plumbing ---
         "multimodal_features": _q_multimodal_features,
@@ -633,6 +705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from graphiti_spark.functions.normalize import normalize_entity_name_enhanced_sql
+
+    _ENHANCED_NORM_SQL = normalize_entity_name_enhanced_sql("p_name")
     # --- pinned golden oracles for the Python-UDF KG pipeline ---------------
     # The extraction/ER stages have no feasible DuckDB twin (the html stripper
     # alone is ~200 lines of stateful regex logic), so the sf0.01 output is
@@ -681,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **golden,
+        "ann_ivf_trained_topk": _IVF_TRAINED_SQL,
         "ann_ivf_topk": f"""
             WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id IN (0,1,2,3)),
             q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -955,6 +1031,10 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                      lower(p_name), '[-.\s]+', '_', 'g'), '[^a-z0-9_]', '', 'g'),
                      '_+', '_', 'g'), '^_+|_+$', '', 'g') AS name_norm
+            FROM part
+        """,
+        "normalize_names_enhanced": f"""
+            SELECT p_partkey, {_ENHANCED_NORM_SQL} AS name_norm
             FROM part
         """,
         "multimodal_features": """

@@ -49,9 +49,13 @@ def build_text_index(
         .withColumn("bucket", F.pmod(F.crc32("term"), F.lit(n_buckets)))
     )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
+    # n_buckets rides in stats so the index is self-describing — readers
+    # must compute term buckets with the SAME modulus the writer used.
     base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    ).withColumn("n_buckets", F.lit(n_buckets)).write.mode("overwrite").parquet(
+        f"{path}/stats"
+    )
 
 
 def bm25_from_index(
@@ -61,23 +65,27 @@ def bm25_from_index(
     id_col: str = "id",
     k1: float = BM25_K1,
     b: float = BM25_B,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """BM25 over the persisted index — value-identical to
     ``search.bm25_scores`` on the source table, but the scan touches only
     the query terms' buckets (partition pruning on the bucket key; check
-    PushedFilters/partition filters in .explain)."""
+    PushedFilters/partition filters in .explain). ``n_buckets`` defaults to
+    the value recorded in the index's stats (self-describing); passing a
+    different modulus than the writer used would silently miss terms."""
     import zlib
 
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
         return spark.createDataFrame([], f"{id_col} string, score double")
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)
+    if n_buckets is None:
+        n_buckets = int(stats["n_buckets"]) if "n_buckets" in stats.__fields__ else 64
     buckets = sorted({zlib.crc32(t.encode()) % n_buckets for t in terms})
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    stats = spark.read.parquet(f"{path}/stats").collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)
     df_by_term = postings.groupBy("term").agg(F.countDistinct("id").alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     scored = (

@@ -63,11 +63,17 @@ def _run_methods(
     bfs_origins: list[str] | None,
     edges_for_bfs: DataFrame | None,
     bfs_scope: str = "edges",
+    index_path: str | None = None,
 ) -> list[DataFrame]:
     out = []
     for m in methods:
         if m == SearchMethod.bm25:
-            out.append(fulltext_search(table, id_col, text_col, query, limit=overfetch))
+            out.append(
+                fulltext_search(
+                    table, id_col, text_col, query, limit=overfetch,
+                    index_path=index_path,
+                )
+            )
         elif m == SearchMethod.cosine_similarity and emb_col and emb_col in table.columns:
             out.append(
                 similarity_search(table, id_col, emb_col, qvec, min_score=min_score, limit=overfetch)
@@ -117,6 +123,7 @@ def _rerank(
     mentions: DataFrame | None = None,
     center_uuid: str | None = None,
     scope: str = "nodes",
+    cross_encoder_scorer=None,
 ) -> list:
     if not ranked:
         return []
@@ -164,7 +171,9 @@ def _rerank(
         )
     elif reranker == Reranker.cross_encoder:
         if text_col and text_col in table.columns:
-            out = cross_encoder_rerank(fused, table, id_col, text_col, query)
+            out = cross_encoder_rerank(
+                fused, table, id_col, text_col, query, scorer=cross_encoder_scorer
+            )
             return [r[id_col] for r in out.limit(limit).collect()]
         warnings.warn(
             "cross_encoder reranker needs a text column; falling back to RRF order",
@@ -192,6 +201,8 @@ def search(
     filters: SearchFilters | None = None,
     bfs_origin_uuids: list[str] | None = None,
     mentions: DataFrame | None = None,
+    cross_encoder_scorer=None,
+    fulltext_index_paths: dict[str, str] | None = None,
 ) -> SearchResults:
     """Fan out the configured searches; return uuid lists per scope.
 
@@ -199,8 +210,15 @@ def search(
     (search.py:128-132 embeds once with the external model).
 
     ``mentions``: entity-mention table powering the episode_mentions
-    reranker; ``bfs_origin_uuids[0]`` is the center for node_distance."""
+    reranker; ``bfs_origin_uuids[0]`` is the center for node_distance.
+    ``cross_encoder_scorer``: optional (text Column, query str) -> score
+    Column callable injected into cross_encoder_rerank in every scope —
+    plug a real model UDF here; defaults to the lexical stand-in.
+    ``fulltext_index_paths``: optional {scope: path} of persisted postings
+    indices (indices.build_text_index); a scope with an entry serves its
+    bm25 leg from the partition-pruned index instead of a table scan."""
     qvec = hashed_ngram_embedding_py(query)
+    idx = fulltext_index_paths or {}
     over = config.limit * DEFAULT_CONFIG.overfetch_factor
     center = bfs_origin_uuids[0] if bfs_origin_uuids else None
     results = SearchResults()
@@ -210,44 +228,50 @@ def search(
         ranked = _run_methods(
             t, "uuid", "fact", "fact_embedding", config.edge_config.search_methods,
             query, qvec, over, config.edge_config.min_score, bfs_origin_uuids, edges,
-            bfs_scope="edges",
+            bfs_scope="edges", index_path=idx.get("edges"),
         )
         results.edges = _rerank(ranked, t, "uuid", "fact_embedding",
                                 config.edge_config.reranker, qvec, config.limit,
                                 text_col="fact", query=query, edges=edges,
                                 mentions=mentions, center_uuid=center,
-                                scope="edges")
+                                scope="edges",
+                                cross_encoder_scorer=cross_encoder_scorer)
     if config.node_config and nodes is not None:
         t = apply_search_filters(nodes, filters) if filters else nodes
         ranked = _run_methods(
             t, "uuid", "name", "name_embedding", config.node_config.search_methods,
             query, qvec, over, config.node_config.min_score, bfs_origin_uuids, edges,
-            bfs_scope="nodes",
+            bfs_scope="nodes", index_path=idx.get("nodes"),
         )
         results.nodes = _rerank(ranked, t, "uuid", "name_embedding",
                                 config.node_config.reranker, qvec, config.limit,
                                 text_col="name", query=query, edges=edges,
                                 mentions=mentions, center_uuid=center,
-                                scope="nodes")
+                                scope="nodes",
+                                cross_encoder_scorer=cross_encoder_scorer)
     if config.episode_config and episodes is not None:
         ranked = _run_methods(
             episodes, "uuid", "content", None, config.episode_config.search_methods,
             query, qvec, over, 0.0, None, None,
+            index_path=idx.get("episodes"),
         )
         results.episodes = _rerank(ranked, episodes, "uuid", None,
                                    config.episode_config.reranker, qvec, config.limit,
                                    text_col="content", query=query,
                                    mentions=mentions, center_uuid=center,
-                                   scope="episodes")
+                                   scope="episodes",
+                                   cross_encoder_scorer=cross_encoder_scorer)
     if config.community_config and communities is not None:
         ranked = _run_methods(
             communities, "uuid", "summary", "name_embedding",
             config.community_config.search_methods, query, qvec, over,
             config.community_config.min_score, None, None,
+            index_path=idx.get("communities"),
         )
         results.communities = _rerank(ranked, communities, "uuid", "name_embedding",
                                       config.community_config.reranker, qvec, config.limit,
                                       text_col="summary", query=query,
                                       mentions=mentions, center_uuid=center,
-                                      scope="communities")
+                                      scope="communities",
+                                      cross_encoder_scorer=cross_encoder_scorer)
     return results

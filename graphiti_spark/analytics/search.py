@@ -95,16 +95,31 @@ def fulltext_search(
     query: str,
     limit: int = DEFAULT_CONFIG.default_search_limit,
     group_ids: list[str] | None = None,
+    index_path: str | None = None,
 ) -> DataFrame:
     """ORDER BY bm25 DESC LIMIT k with optional group filter
     (edge/node/episode_fulltext_search shape, search_utils.py:154-205).
-    Queries longer than 128 words return empty (search_utils.py:60-82)."""
+    Queries longer than 128 words return empty (search_utils.py:60-82).
+
+    ``index_path``: a postings index written by indices.build_text_index.
+    When given (and no group filter narrows the corpus), scoring reads ONLY
+    the query terms' bucket partitions instead of scanning the table —
+    value-identical scores (same formula, same corpus stats snapshot), a
+    partition-pruned scan at 100 TB. The index is a snapshot: rebuild it
+    when the table changes. A group_ids filter falls back to the direct
+    scan, because BM25 df/N are defined over the FILTERED corpus there."""
     terms = [t for t in query.lower().split() if t]
     if len(terms) > 128:  # MAX_QUERY_LENGTH guard, search_utils.py:60
         return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
-    if group_ids and "group_id" in docs.columns:
+    filtered = bool(group_ids) and "group_id" in docs.columns
+    if filtered:
         docs = docs.filter(F.col("group_id").isin(group_ids))
-    scored = bm25_scores(docs, id_col, text_col, terms)
+    if index_path and not filtered:
+        from graphiti_spark.analytics.indices import bm25_from_index
+
+        scored = bm25_from_index(docs.sparkSession, index_path, terms, id_col=id_col)
+    else:
+        scored = bm25_scores(docs, id_col, text_col, terms)
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(limit)
 
 
@@ -285,40 +300,53 @@ def episode_mentions_rerank(
     return out.orderBy(F.desc("mention_score"), *sec, F.asc(id_col))
 
 
-def cross_encoder_rerank(
-    results: DataFrame,
-    table: DataFrame,
-    id_col: str,
-    text_col: str,
-    query: str,
-) -> DataFrame:
-    """Deterministic cross-encoder STAND-IN.
+def lexical_cross_encoder_scorer(text_col, query: str):
+    """Default cross-encoder scorer: deterministic lexical STAND-IN.
 
-    The reference reranks (query, passage) pairs through an external
-    cross-encoder model (search.py:261-266; cross_encoder/client.py). No
-    model runs in this sandbox, so the stand-in scores each pair by
-    query-token coverage: |query_tokens ∩ passage_tokens| / |query_tokens|,
-    tie-broken by the fused upstream score then id — an explicit, tested
-    pairwise scorer rather than a silent fallback to RRF. Swap this for a
-    real model by replacing the score column with a Pandas-UDF model call
-    (same (results ⋈ text) -> score -> sort shape).
+    Scores each (query, passage) pair by query-token coverage:
+    |query_tokens ∩ passage_tokens| / |query_tokens|. Returns a score
+    Column given the passage text column and the query string — the
+    contract any real model scorer must satisfy (see cross_encoder_rerank).
     """
     q_toks = sorted({t for t in query.lower().split() if t})
     if not q_toks:
-        return results
+        return F.lit(0.0)
     overlap = F.size(
         F.array_intersect(
             F.array_distinct(tokens_col(text_col)),
             F.array(*[F.lit(t) for t in q_toks]),
         )
     )
+    return F.when(text_col.isNull(), F.lit(0.0)).otherwise(
+        overlap.cast("double") / F.lit(float(len(q_toks)))
+    )
+
+
+def cross_encoder_rerank(
+    results: DataFrame,
+    table: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    scorer=None,
+) -> DataFrame:
+    """Cross-encoder rerank with a PLUGGABLE pairwise scorer.
+
+    The reference reranks (query, passage) pairs through an external
+    cross-encoder model (search.py:261-266; cross_encoder/client.py). No
+    model runs in this sandbox, so ``scorer`` defaults to the deterministic
+    lexical stand-in (lexical_cross_encoder_scorer) — an explicit, tested
+    pairwise scorer rather than a silent fallback to RRF. A user with a
+    real model injects ``scorer=lambda text, q: my_model_udf(text, F.lit(q))``
+    (any callable (text Column, query str) -> score Column, typically a
+    Pandas-UDF model call) without forking the orchestrator; ties break by
+    the fused upstream score then id either way.
+    """
+    if not query:
+        return results
+    scorer = scorer or lexical_cross_encoder_scorer
     scored = results.join(table.select(F.col(id_col), F.col(text_col)), id_col, "left")
-    scored = scored.withColumn(
-        "ce_score",
-        F.when(F.col(text_col).isNull(), F.lit(0.0)).otherwise(
-            overlap.cast("double") / F.lit(float(len(q_toks)))
-        ),
-    ).drop(text_col)
+    scored = scored.withColumn("ce_score", scorer(F.col(text_col), query)).drop(text_col)
     order = [F.desc("ce_score")]
     if "rrf_score" in scored.columns:
         order.append(F.desc("rrf_score"))

@@ -103,6 +103,59 @@ def ivf_assign(
     return embeddings.select(F.col(id_col), F.col(vec_col), best_cell.alias("ivf_cell"))
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means over the embedding column — the missing
+    half of a usable IVF index (VERDICT r2 #7; FAISS-style train step).
+
+    Determinism contract (so a DuckDB SQL twin reproduces it bit-for-bit):
+     - seeds = the k rows with smallest (md5(id), id) — an order both
+       engines compute identically (no RNG);
+     - assignment = argmax cosine(vec, centroid), ties to the LOWER cell
+       (strictly-greater update, matching ivf_assign);
+     - new centroid = per-dimension mean ROUNDED to ``decimals`` — rounding
+       erases float-aggregation-order drift between engines/partitionings;
+     - a cell left empty keeps its previous centroid.
+
+    Scale shape: each iteration is one shuffle (groupBy cell,dim over the
+    posexploded vectors); k*dim rows come back to the driver (centroids are
+    driver-side by the existing ivf_* API contract). n_iter is small and
+    fixed — this is a coarse quantizer, not a clustering benchmark.
+    """
+    seeds = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r["_v"]] for r in seeds]
+    for _ in range(n_iter):
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+        rows = (
+            assigned.select(
+                "ivf_cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("ivf_cell", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), decimals).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["ivf_cell"], {})[r["pos"]] = float(r["m"])
+        cents = [
+            [by_cell[c][p] for p in range(len(cents[c]))] if c in by_cell else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: list[list[float]],

@@ -125,18 +125,23 @@ FIXTURE_PAGES: list[dict] = [
 # Expected canonical triples as (subj_name_norm, pred, obj_name_norm) — the
 # names below are pre-canonicalization normalized forms; the P/R harness maps
 # both sides through the produced uuid_map so fuzzy-dup variants count as one.
+# IDENTITY names are the ENHANCED normalization (uuid_utils.py:99-155, the
+# reference's uuid default): company indicators drop, so "Acme Corp" and
+# "Bluebird Corp" identify as "acme" / "bluebird"; "bob" expands to
+# "robert". The P/R harness maps both sides through the produced uuid_map,
+# so fuzzy-dup variants still count as one.
 EXPECTED_TRIPLES: set[tuple[str, str, str]] = {
-    ("alice", "LIKES", "bob"),
-    ("alice_smith", "WORKS", "acme_corp"),
-    ("acme_corp", "HIRED", "carol_jones"),
+    ("alice", "LIKES", "robert"),
+    ("alice_smith", "WORKS", "acme"),
+    ("acme", "HIRED", "carol_jones"),
     ("carol_jones", "MARRIED", "david_lee"),
     ("graphiti", "POWERS", "zep"),  # graphitti folds into graphiti
     ("claude", "HELPS", "anthropic"),
     ("claude_code", "EXTENDS", "claude"),
-    ("acme_corp", "ACQUIRED", "widget_works"),
+    ("acme", "ACQUIRED", "widget_works"),
     ("google", "PRAISED", "widget_works"),
-    ("bluebird_corp", "OWNS", "nestly"),
-    ("bluebird_corp", "OWNS", "firmly"),
+    ("bluebird", "OWNS", "nestly"),
+    ("bluebird", "OWNS", "firmly"),
     *{(f"google", "LAUNCHED", f"product{i}") for i in range(5)},
     ("google", "EMPLOYS", "sundar_pichai"),
     ("helix_labs", "FUNDED", "nova_robotics"),

@@ -26,7 +26,31 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from graphiti_spark.functions.normalize import normalize_entity_name_py
+from graphiti_spark.functions.normalize import (
+    normalize_entity_name_enhanced_py,
+    normalize_entity_name_py,
+)
+
+# The reference's normalize_entity_name (uuid_utils.py:52-80) is env-gated:
+# DEDUP_NORMALIZE_NAMES=false skips normalization entirely,
+# DEDUP_ENHANCED_NORMALIZATION=false falls back to the basic chain. Both
+# default true, so the enhanced normalizer IS the uuid identity. Resolved
+# once at import (the reference re-reads os.getenv per call — pointless
+# inside a vectorized UDF loop).
+import os as _os
+
+_NORMALIZE_NAMES = _os.getenv("DEDUP_NORMALIZE_NAMES", "true").lower() == "true"
+_ENHANCED = _os.getenv("DEDUP_ENHANCED_NORMALIZATION", "true").lower() == "true"
+
+
+def identity_normalize_py(name: str) -> str:
+    """The normalization applied inside entity uuid identity
+    (uuid_utils.py:291 generate_deterministic_uuid -> normalize_entity_name)."""
+    if not _NORMALIZE_NAMES:
+        return name
+    if _ENHANCED:
+        return normalize_entity_name_enhanced_py(name)
+    return normalize_entity_name_py(name) or name
 
 
 @lru_cache(maxsize=4096)
@@ -45,8 +69,10 @@ def _episode_ns(kind: str = "episode") -> uuid.UUID:
 
 
 def entity_uuid_py(name: str, group_id: str) -> str:
-    """uuid_utils.py:282-306 parity."""
-    return str(uuid.uuid5(_entity_ns(group_id), normalize_entity_name_py(name)))
+    """uuid_utils.py:271-296 parity: uuid5 over the ENHANCED-normalized name
+    (the reference default — possessives, titles, company indicators and
+    abbreviations fold into one identity; see identity_normalize_py)."""
+    return str(uuid.uuid5(_entity_ns(group_id), identity_normalize_py(name)))
 
 
 def edge_uuid_py(source_uuid: str, target_uuid: str, name: str, group_id: str) -> str:
@@ -61,6 +87,14 @@ def episode_uuid_py(url: str) -> str:
 @F.pandas_udf(StringType())
 def entity_uuid_udf(name: pd.Series, group_id: pd.Series) -> pd.Series:
     return pd.Series([entity_uuid_py(n, g) for n, g in zip(name, group_id)])
+
+
+@F.pandas_udf(StringType())
+def identity_normalize_udf(name: pd.Series) -> pd.Series:
+    """Column form of identity_normalize_py — the string two names must share
+    to be the same entity uuid (used by the ER catalog so blocking/scoring
+    operate on the identity norm, not the basic one)."""
+    return pd.Series([identity_normalize_py(n) for n in name])
 
 
 @F.pandas_udf(StringType())

@@ -146,14 +146,23 @@ def entity_catalog(mentions: DataFrame) -> DataFrame:
 
     mention_count is carried for skew diagnostics / hot-key salting decisions.
     """
+    from graphiti_spark.functions.ids import identity_normalize_udf
+
+    # name_norm here is the IDENTITY norm (enhanced, uuid_utils.py:99-155) of
+    # the representative name: mentions sharing a uuid can carry different
+    # surface forms ("Acme Corp"/"Acme" both normalize to "acme"), so the
+    # catalog recomputes the norm from the deterministic representative
+    # instead of F.first-ing an arbitrary mention's basic norm.
     ents = (
         mentions.groupBy("group_id", "entity_uuid")
         .agg(
-            F.min_by("name", "episode_uuid").alias("name"),
-            F.first("name_norm").alias("name_norm"),
+            # lexicographic (episode_uuid, name) min: deterministic even when
+            # one episode mentions two surface forms of the same identity
+            # (min_by alone is implementation-defined on ties)
+            F.min(F.struct("episode_uuid", "name"))["name"].alias("name"),
             F.count(F.lit(1)).alias("mention_count"),
         )
-    )
+    ).withColumn("name_norm", identity_normalize_udf("name"))
     return ents.withColumn("name_embedding", hashed_ngram_embedding_udf("name_norm"))
 
 

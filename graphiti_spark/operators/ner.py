@@ -54,9 +54,17 @@ _DATE_WORDS = frozenset(
 # Lowercase words allowed INSIDE a multi-token entity ("University of Toronto").
 _CONNECTORS = frozenset("of the for and de la van von der al el".split())
 
-_CAP_TOKEN = re.compile(r"^[A-Z][A-Za-z0-9'’.&-]*$")
-_WORD_RE = re.compile(r"[A-Za-z0-9'’.&-]+")
+# Unicode-aware word shape: \w covers accented letters (Café, Müller,
+# Wałęsa) so non-ASCII names stay whole instead of fragmenting at each
+# accent (the ASCII class [A-Za-z...] split "Café" into "Caf" + stray "M"
+# runs — caught by the hand-derived unicode fixtures). Capitalization is
+# tested with str.isupper(), which is unicode-aware too.
+_WORD_RE = re.compile(r"[\w'’.&-]+", re.UNICODE)
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+
+def _cap_token(tok: str) -> bool:
+    return bool(tok) and tok[0].isupper()
 
 
 def split_sentences(text: str) -> list[tuple[int, str]]:
@@ -73,7 +81,7 @@ def split_sentences(text: str) -> list[tuple[int, str]]:
 
 
 def _is_entity_token(tok: str) -> bool:
-    if not _CAP_TOKEN.match(tok):
+    if not _cap_token(tok):
         return False
     low = tok.lower().rstrip(".")
     if low in _DATE_WORDS:

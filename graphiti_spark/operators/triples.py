@@ -7,8 +7,10 @@ with sentence-pattern extraction under the same output contract
  - both endpoints must be distinct extracted entities,
  - predicate is SCREAMING_SNAKE_CASE,
  - ``fact`` quotes the source sentence,
- - explicit dates in the sentence become valid_at; otherwise the fact is
-   "ongoing" and valid_at = the episode reference time,
+ - explicit dates in the sentence become valid_at; a dateless PRESENT-tense
+   fact is "ongoing" and adopts the episode reference time; a dateless
+   past-tense fact leaves valid_at null (DATETIME RULES,
+   prompts/extract_edges.py:117-122),
  - episodes provenance list = [episode_uuid].
 
 Pattern: within a sentence, for each adjacent entity-mention pair (E1, E2),
@@ -26,11 +28,13 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, BooleanType, StringType, StructField, StructType
 
 from graphiti_spark.functions.ids import edge_uuid_udf, entity_uuid_udf
 from graphiti_spark.functions.normalize import predicate_name_py
 from graphiti_spark.operators.ner import (
+    _ISO_DATEISH,
+    _URLISH,
     extract_mentions_py,
     split_messages,
     split_sentences,
@@ -63,6 +67,35 @@ def _verbish(tok: str) -> bool:
     if low in _STOP_EDGE or low in {"its", "his", "her", "their"}:
         return False
     return len(low) > 3 and (low.endswith("ed") or low.endswith("ing") or low.endswith("s"))
+
+
+# Irregular past forms that don't end in -ed (the -ed suffix and this list
+# jointly classify the fact's tense for the DATETIME RULES below).
+_IRREGULAR_PAST = frozenset(
+    """was were had met sold won lost sang wrote built left became made said
+    told bought""".split()
+)
+
+
+def _is_present_tense(tok: str) -> bool:
+    """Deterministic tense classifier for the reference's DATETIME RULES
+    (prompts/extract_edges.py:117-122): an ONGOING (present-tense) fact
+    adopts REFERENCE_TIME as valid_at; a past-tense fact with no explicit
+    date leaves valid_at null. English morphology: -ed and the irregular
+    list are past; everything else verbish (is/has/owns/uses/-s forms,
+    -ing) is treated as present/ongoing."""
+    low = tok.lower()
+    if low in _IRREGULAR_PAST or low.endswith("ed"):
+        return False
+    return True
+
+
+def _triple_ongoing(toks: list[str]) -> bool:
+    """Tense of a predicate token span = tense of its first verbish token."""
+    for t in toks:
+        if _verbish(t):
+            return _is_present_tense(t)
+    return True
 
 
 def _extract_dates(sent: str) -> tuple[str | None, str | None]:
@@ -105,7 +138,7 @@ def extract_triples_py(text: str) -> list[tuple[str, str, str, str, str | None, 
             pred = predicate_name_py(" ".join(pred_toks))
             if not pred:
                 continue
-            out.append((n1, pred, n2, fact, valid_s, invalid_s))
+            out.append((n1, pred, n2, fact, valid_s, invalid_s, _triple_ongoing(toks)))
     return out
 
 
@@ -140,7 +173,10 @@ def extract_triples_message_py(text: str) -> list[tuple[str, str, str, str, str 
             pred = predicate_name_py(m.group(2))
             fact = re.sub(r"\s+", " ", f"{speaker}: {sent}").strip()
             if pred:
-                out.append((speaker, pred, obj, fact, valid_s, invalid_s))
+                out.append(
+                    (speaker, pred, obj, fact, valid_s, invalid_s,
+                     _is_present_tense(m.group(2)))
+                )
     return out
 
 
@@ -150,7 +186,15 @@ def extract_triples_json_py(text: str) -> list[tuple[str, str, str, str, str | N
     twin of the reference's extract_edges over EpisodeType.json content.
     Nested objects/lists recurse; non-string scalars are attributes, not
     entities, and are skipped (endpoints must be entities,
-    prompts/extract_edges.py:107-124). Malformed JSON yields nothing."""
+    prompts/extract_edges.py:107-124). Date-like and URL-like values are
+    likewise NOT endpoints — the same exclusion extract_mentions_json_py
+    applies (prompts/extract_nodes.py:107-109: dates are edge attributes,
+    not entities); a date-valued field instead contributes the edge-date of
+    its subject's other triples when they carry none. Before this rule the
+    json path emitted e.g. (X, SINCE, "2020-01-01") edges whose target uuid
+    existed in no node table — dangling endpoints, caught by the
+    hand-derived fixture audit, not by the pinned goldens. Malformed JSON
+    yields nothing."""
     import json
 
     out = []
@@ -176,6 +220,23 @@ def extract_triples_json_py(text: str) -> list[tuple[str, str, str, str, str | N
         if not isinstance(v, dict):
             return
         subj = _subject_of(v)
+        # First date-like string field (document order) becomes the valid_at
+        # of the dict's other triples when they carry no explicit date —
+        # {"name": "Acme", "employer": "Globex", "since": "2020-01-01"}
+        # dates the EMPLOYER edge instead of minting a date entity
+        # (extract_edge_dates parity, edge_operations.py:291-305).
+        dict_date = None
+        for vv in v.values():
+            if isinstance(vv, str):
+                s = vv.strip()
+                if _ISO_DATEISH.match(s):
+                    m = _ISO_RE.search(s)
+                    if m:
+                        dict_date = m.group(1)
+                    elif re.fullmatch(r"\d{4}", s):
+                        dict_date = s
+                    if dict_date:
+                        break
         for k, vv in v.items():
             if isinstance(vv, (dict, list)):
                 _walk(vv)
@@ -185,12 +246,19 @@ def extract_triples_json_py(text: str) -> list[tuple[str, str, str, str, str | N
             obj = vv.strip()
             if not obj or len(obj) > 80 or obj == subj:
                 continue
+            # endpoints must be entities: date-like / URL-like values are
+            # excluded exactly like extract_mentions_json_py excludes them
+            if _ISO_DATEISH.match(obj) or _URLISH.match(obj):
+                continue
             pred = predicate_name_py(k)
             if not pred:
                 continue
             valid_s, invalid_s = _extract_dates(obj)
+            if valid_s is None:
+                valid_s = dict_date
             fact = f"{subj} {k} {obj}"
-            out.append((subj, pred, obj, fact, valid_s, invalid_s))
+            # a json document states the entity's CURRENT fields -> ongoing
+            out.append((subj, pred, obj, fact, valid_s, invalid_s, True))
 
     _walk(doc)
     return out
@@ -215,6 +283,7 @@ _TRIPLE_SCHEMA = ArrayType(
             StructField("fact", StringType()),
             StructField("valid_at_str", StringType()),
             StructField("invalid_at_str", StringType()),
+            StructField("ongoing", BooleanType()),
         ]
     )
 )
@@ -276,13 +345,19 @@ def triples_stage(episodes: DataFrame) -> DataFrame:
             F.col("tr.fact").alias("fact"),
             F.col("tr.valid_at_str").alias("valid_at_str"),
             F.col("tr.invalid_at_str").alias("invalid_at_str"),
+            F.col("tr.ongoing").alias("ongoing"),
         )
         .filter((F.col("subj_name") != "") & (F.col("obj_name") != "") & (F.col("name") != ""))
     )
-    # Ongoing facts adopt the episode reference time (extract_edges.py:118-121).
+    # DATETIME RULES (extract_edges.py:117-122): explicit date wins; an
+    # ONGOING (present-tense) fact adopts the episode reference time; a
+    # past-tense fact with no stated date leaves valid_at null.
     t = t.withColumn(
         "valid_at",
-        F.coalesce(_parse_date_col(F.col("valid_at_str")), F.col("episode_valid_at")),
+        F.coalesce(
+            _parse_date_col(F.col("valid_at_str")),
+            F.when(F.col("ongoing"), F.col("episode_valid_at")),
+        ),
     ).withColumn("invalid_at", _parse_date_col(F.col("invalid_at_str")))
     t = t.withColumn("source_entity_uuid", entity_uuid_udf("subj_name", "group_id")).withColumn(
         "target_entity_uuid", entity_uuid_udf("obj_name", "group_id")
@@ -290,4 +365,4 @@ def triples_stage(episodes: DataFrame) -> DataFrame:
     # Self-loops excluded: endpoints must be distinct entities
     # (edge_operations.py:283-289 id-validation analog).
     t = t.filter(F.col("source_entity_uuid") != F.col("target_entity_uuid"))
-    return t.drop("valid_at_str", "invalid_at_str", "episode_valid_at")
+    return t.drop("valid_at_str", "invalid_at_str", "episode_valid_at", "ongoing")

@@ -37,16 +37,16 @@ def test_scenarios(spark):
             "Claude Code",      # compound-name guard -> NOT duplicate
             "Alice Smith",
             "Alice Smith-Jones",  # guard: token-superset -> NOT duplicate
-            "International Business Machines Corp",
-            "International Business Machines Corporation",  # multi-word jaccard/fuzzy -> duplicate
+            "International Business Machine",
+            "International Business Machines",  # multi-word jaccard/fuzzy -> duplicate
             "Apple",
             "Orange",           # unrelated -> NOT duplicate
         ],
     )
     assert ("graphiti", "graphitti") in got
     assert (
-        "international_business_machines_corp",
-        "international_business_machines_corporation",
+        "international_business_machine",
+        "international_business_machines",
     ) in got
     assert ("claude", "claude_code") not in got
     assert ("alice_smith", "alice_smith_jones") not in got
@@ -56,6 +56,19 @@ def test_scenarios(spark):
 def test_exact_variants_share_uuid():
     # tier-1/2 exact resolution is free via deterministic identity.
     assert entity_uuid_py("CLAUDE", "g") == entity_uuid_py("claude", "g")
+    # enhanced identity (uuid_utils.py:99-155 default): company indicators
+    # drop and abbreviations expand BEFORE uuid5, so Corp/Corporation
+    # variants are the same entity at extraction time — no ER pair needed.
+    assert entity_uuid_py("International Business Machines Corp", "g") == entity_uuid_py(
+        "International Business Machines Corporation", "g"
+    )
+    assert entity_uuid_py("Acme's Widgets", "g") == entity_uuid_py("Acme Widgets", "g")
+    assert entity_uuid_py("Café Noir", "g") == entity_uuid_py("Cafe Noir", "g")
+    assert entity_uuid_py("Dr. John Smith", "g") == entity_uuid_py("John Smith", "g")
+    assert entity_uuid_py("Bob Dylan", "g") == entity_uuid_py("Robert Dylan", "g")
+    # filtered-to-empty falls back to the ORIGINAL string, so 'Dr.' and 'Inc'
+    # keep distinct identities instead of colliding on ''
+    assert entity_uuid_py("Dr.", "g") != entity_uuid_py("Inc", "g")
 
 
 def test_blocking_df_cap(spark):

@@ -14,7 +14,20 @@ def names(text):
 def test_simple_svo():
     assert names("Alice likes Bob.") == ["Alice", "Bob"]
     t = extract_triples_py("Alice likes Bob.")
-    assert t == [("Alice", "LIKES", "Bob", "Alice likes Bob.", None, None)]
+    # trailing True = ongoing (present tense -> valid_at defaults to the
+    # episode reference time downstream, DATETIME RULES :117-122)
+    assert t == [("Alice", "LIKES", "Bob", "Alice likes Bob.", None, None, True)]
+
+
+def test_tense_classification():
+    """DATETIME RULES (extract_edges.py:117-122): present-tense facts are
+    ongoing; past-tense facts are not."""
+    likes = extract_triples_py("Alice likes Bob.")[0]
+    assert likes[6] is True
+    visited = extract_triples_py("Alice Smith visited Paris Gardens.")[0]
+    assert visited[6] is False  # -ed past
+    met = extract_triples_py("Alice Smith met Carol Jones.")[0]
+    assert met[6] is False  # irregular past
 
 
 def test_multiword_and_connector_entities():

@@ -207,6 +207,18 @@ def test_orchestrator_rerankers_per_enum(spark):
     res = search("beta common", NODE_HYBRID_SEARCH_CROSS_ENCODER, edges=edges, nodes=nodes)
     assert res.nodes and res.nodes[0] == "n2"
 
+    # cross_encoder is PLUGGABLE (VERDICT r2 #5): an injected scorer drives
+    # the ordering instead of the lexical stand-in — here a model stand-in
+    # that loves 'gamma' passages flips the winner to n3.
+    def gamma_scorer(text_col, query):
+        return F.when(text_col.contains("gamma"), F.lit(9.0)).otherwise(F.lit(0.0))
+
+    res = search(
+        "beta common", NODE_HYBRID_SEARCH_CROSS_ENCODER, edges=edges, nodes=nodes,
+        cross_encoder_scorer=gamma_scorer,
+    )
+    assert res.nodes and res.nodes[0] == "n3"
+
     # mmr: runs and returns a permutation of candidates
     res = search("common", NODE_HYBRID_SEARCH_MMR, edges=edges, nodes=nodes)
     assert set(res.nodes) <= {"n1", "n2", "n3"} and res.nodes
