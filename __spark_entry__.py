@@ -402,6 +402,15 @@ def _q_fingerprint_dedup(spark, sf_dir):
     return fingerprint_dedup(_t(spark, sf_dir, "documents"), k=8)
 
 
+def _q_set_similarity_join(spark, sf_dir):
+    """Exact prefix-filter set-similarity join (AllPairs) at J>=0.95 — the
+    100%-recall complement to the MinHash sketch path."""
+    from graphiti_spark.datapipe.dedup import set_similarity_join
+
+    out = set_similarity_join(_t(spark, sf_dir, "documents"), threshold=0.95)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_minhash_signatures(spark, sf_dir):
     from graphiti_spark.datapipe.dedup import minhash_signatures
 
@@ -675,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup family (training-data ops) ---
         "exact_dedup": _q_exact_dedup,
         "fingerprint_dedup": _q_fingerprint_dedup,
+        "set_similarity_join": _q_set_similarity_join,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
@@ -825,6 +835,28 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_dedup": f"""
             SELECT {fingerprint} AS fingerprint, min(doc_id) AS canonical_id, count(*) AS dup_count
             FROM documents GROUP BY 1
+        """,
+        "set_similarity_join": f"""
+            -- exact AllPairs prefix-filter join, twin of dedup.set_similarity_join:
+            -- (df, token)-ordered prefixes of length n - ceil(0.95*n) + 1,
+            -- size prune min >= t*max, exact jaccard verify
+            WITH t0 AS (SELECT doc_id AS id, list_distinct({_TOKS}) AS tokset FROM documents),
+            t AS (SELECT id, tokset, len(tokset) AS n FROM t0 WHERE len(tokset) > 0),
+            posting AS (SELECT id, n, unnest(tokset) AS tok FROM t),
+            dfs AS (SELECT tok, count(*) AS df FROM posting GROUP BY tok),
+            ranked AS (SELECT p.id, p.n, p.tok, d.df,
+                              row_number() OVER (PARTITION BY p.id ORDER BY d.df, p.tok) AS rn
+                       FROM posting p JOIN dfs d USING (tok)),
+            prefix AS (SELECT id, n, tok FROM ranked
+                       WHERE rn <= n - ceil(0.95 * n) + 1 AND df <= 100000),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
+                     WHERE least(a.n, b.n) >= 0.95 * greatest(a.n, b.n)),
+            j AS (SELECT id_a, id_b,
+                         CAST(len(list_intersect(ta.tokset, tb.tokset)) AS DOUBLE)
+                           / len(list_distinct(list_concat(ta.tokset, tb.tokset))) AS jaccard
+                  FROM cand JOIN t ta ON cand.id_a = ta.id JOIN t tb ON cand.id_b = tb.id)
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.95
         """,
         "minhash_signatures": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)

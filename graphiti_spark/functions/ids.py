@@ -3,8 +3,9 @@
 Parity targets (citations into /root/reference):
  - entity uuid = uuid5(uuid5(NAMESPACE_DNS, f"graphiti.entity.{group_id}"),
                        normalize_entity_name(name))
-   (graphiti_core/utils/uuid_utils.py:282-306, applied at
-    node_operations.py:331)
+   (graphiti_core/utils/uuid_utils.py:271-296, applied at nodes.py:131 and
+    node_operations.py:331; normalize_entity_name defaults to the ENHANCED
+    chain, uuid_utils.py:52-80 — mirrored by identity_normalize_py below)
  - edge uuid   = uuid5(uuid5(NAMESPACE_DNS, f"graphiti.edge.{group_id}"),
                        f"{source_uuid}|{target_uuid}|{NAME_UPPER}")
    (uuid_utils.py:309-334)

@@ -113,13 +113,51 @@ def upsert_table(
             if d.startswith(base + "._staged_"):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     merged = deduped
+    untouched_dirs: list[str] = []
     if os.path.isdir(target):
         existing = spark.read.parquet(target)
+        # --- partition-pruned rewrite (VERDICT r2 #9) --------------------
+        # The naive path rewrites the WHOLE table per upsert — O(table) per
+        # incremental batch. With a single partition column, only the
+        # partitions that either receive incoming rows or CONTAIN a matched
+        # key need recomputation (a matched key whose partition value
+        # changed is handled: its old partition is touched via the key
+        # probe, its new one via the incoming values). Untouched partition
+        # dirs are HARD-LINKED into the staged table — O(#files), no data
+        # copy, mtimes/inodes preserved — keeping the atomic two-rename
+        # swap. The key probe is a column-pruned (key, partition) scan,
+        # far cheaper than a full-width rewrite.
+        pc = partition_by[0] if partition_by and len(partition_by) == 1 else None
+        if pc and pc in deduped.columns and pc in existing.columns:
+            from urllib.parse import unquote
+
+            inc_parts = {r[0] for r in deduped.select(pc).distinct().collect()}
+            matched_parts = {
+                r[0]
+                for r in existing.select(pc, key)
+                .join(deduped.select(key), key, "left_semi")
+                .select(pc)
+                .distinct()
+                .collect()
+            }
+            touched = inc_parts | matched_parts
+            if None not in touched:
+                touched_strs = {str(v) for v in touched}
+                untouched_dirs = [
+                    d
+                    for d in os.listdir(target)
+                    if d.startswith(pc + "=")
+                    and unquote(d[len(pc) + 1 :]) not in touched_strs
+                ]
+                if untouched_dirs:
+                    existing = existing.filter(F.col(pc).isin(list(touched)))
+        tgt_only = [c for c in existing.columns if c not in deduped.columns]
         # Schema = UNION of both sides (Iceberg MERGE INTO alignment): a
         # column the source lacks is NOT dropped — existing rows keep it,
         # matched rows inherit their prior value (UPDATE SET touches only
-        # source columns), inserted rows get NULL.
-        tgt_only = [c for c in existing.columns if c not in deduped.columns]
+        # source columns), inserted rows get NULL. (With pruning, matched
+        # keys live in touched partitions by construction, so the filtered
+        # `existing` still carries every prior value the inherit join needs.)
         for c in deduped.columns:
             if c not in existing.columns:
                 existing = existing.withColumn(c, F.lit(None).cast(deduped.schema[c].dataType))
@@ -134,6 +172,11 @@ def upsert_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    for d in untouched_dirs:
+        # hard-link the untouched partition's files into the staged table
+        shutil.copytree(
+            os.path.join(target, d), os.path.join(tmp, d), copy_function=os.link
+        )
     old = f"{target}._old_{_uuid.uuid4().hex[:8]}"
     if os.path.isdir(target):
         os.rename(target, old)

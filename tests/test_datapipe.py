@@ -80,6 +80,32 @@ def test_minhash_lsh_rows_per_band(spark):
         minhash_lsh_pairs(docs, num_hashes=8, rows_per_band=3)
 
 
+def test_set_similarity_join_exact(spark):
+    """Prefix-filter AllPairs join: 100% recall at the threshold — output
+    must EQUAL the brute-force all-pairs jaccard filter, unlike the
+    sketch methods whose recall is probabilistic."""
+    from graphiti_spark.datapipe.dedup import set_similarity_join
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(20) if (i, j) != (i, i % 20)) + (f" extra{i % 5}" if i % 3 else ""))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in set_similarity_join(docs, threshold=0.8).collect()
+    }
+    # brute force ground truth
+    toks = {i: set(t.split()) for i, t in rows}
+    want = set()
+    for a in range(30):
+        for b in range(a + 1, 30):
+            j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+            if j >= 0.8:
+                want.add((a, b, round(j, 9)))
+    assert got == want and want  # non-trivial and exactly equal
+
+
 def test_simhash_pairs_near_dup(spark):
     pairs = simhash_pairs(_docs(spark), max_hamming=3).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}

@@ -83,7 +83,13 @@ def _tree_cpu_seconds(root_pid: int) -> dict[str, float]:
     return out
 
 
-def run_bench(sf_dir: str, cpus: int, replicate: int = 1, master: str | None = None) -> dict:
+def run_bench(
+    sf_dir: str,
+    cpus: int,
+    replicate: int = 1,
+    master: str | None = None,
+    pin: bool = False,
+) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
@@ -103,10 +109,24 @@ def run_bench(sf_dir: str, cpus: int, replicate: int = 1, master: str | None = N
         # one JVM heap/GC across all cores, which penalizes the 4N level).
         env["SPARK_GRAFT_MASTER"] = master
     t0 = time.time()
+    # --pin: taskset each level onto exactly its own core count (cores
+    # 0..cpus-1). Unpinned, the N-thread leg floats across all 32 host
+    # cores and rarely contends while the 4N leg needs every core free —
+    # asymmetric noise exposure. Pinned, background tenant load (spread by
+    # the scheduler over all cores) hits both legs at the same per-core
+    # rate, so the WALL ratio measures the job, not the host.
+    cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    import tempfile
+
+    errf = tempfile.NamedTemporaryFile(
+        mode="w+", prefix="scaling_bench_err_", suffix=".log", delete=False
+    )
     proc = subprocess.Popen(
-        [sys.executable, os.path.join(ROOT, "bench.py")],
+        cmd,
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
+        stderr=errf,
         text=True,
         env=env,
         start_new_session=True,
@@ -122,7 +142,14 @@ def run_bench(sf_dir: str, cpus: int, replicate: int = 1, master: str | None = N
             raise TimeoutError("bench run exceeded 1800s")
     stdout = proc.stdout.read() if proc.stdout else ""
     wall = time.time() - t0
-    line = [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
+    json_lines = [l for l in stdout.strip().splitlines() if l.startswith("{")]
+    if not json_lines:
+        errf.seek(0)
+        tail = errf.read()[-3000:]
+        raise RuntimeError(
+            f"bench (cpus={cpus}, pin={pin}) emitted no JSON; stderr tail:\n{tail}"
+        )
+    line = json_lines[-1]
     out = json.loads(line)
     out["_wall"] = wall
     out["_cpu_sec"] = cpu_max["java"] + cpu_max["python"]
@@ -154,6 +181,12 @@ def main() -> None:
             "executor JVMs, the faithful N-vs-4N-executors comparison"
         ),
     )
+    ap.add_argument(
+        "--pin",
+        action="store_true",
+        help="taskset each level to exactly its core count (cores 0..N-1) so "
+        "background load hits both legs at the same per-core rate",
+    )
     args = ap.parse_args()
     masters = {args.low: None, args.high: None}
     if args.mode == "cluster":
@@ -167,7 +200,9 @@ def main() -> None:
     runs: dict[int, list[dict]] = {args.low: [], args.high: []}
     for t in range(args.trials):
         for cpus in (args.low, args.high):
-            r = run_bench(args.sf_dir, cpus, args.replicate, master=masters[cpus])
+            r = run_bench(
+                args.sf_dir, cpus, args.replicate, master=masters[cpus], pin=args.pin
+            )
             runs[cpus].append(r)
             print(
                 f"# local[{cpus}] trial {t}: {r['value']}s wall, "
@@ -189,6 +224,7 @@ def main() -> None:
                 "sf_dir": args.sf_dir,
                 "replicate": args.replicate,
                 "mode": args.mode,
+                "pinned": args.pin,
                 "masters": {str(k): v for k, v in masters.items()},
                 "low_cpus": args.low,
                 "high_cpus": args.high,
