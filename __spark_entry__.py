@@ -653,6 +653,115 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_kg_raw_mentions(spark, sf_dir):
+    """Raw S3 mention occurrences (pre-ER, with positions) — the
+    mentions_stage output itself, golden-pinned. Doubles as the independent
+    input for the streaming_entity_state oracle: the stateful aggregation is
+    restated in SQL over this table."""
+    from graphiti_spark.operators.episodes import episodes_stage
+    from graphiti_spark.operators.extract_text import extract_text_stage
+    from graphiti_spark.operators.ner import mentions_stage
+    from graphiti_spark.synth import pages_from_documents
+
+    m = mentions_stage(
+        episodes_stage(extract_text_stage(pages_from_documents(spark, sf_dir)))
+    )
+    return m.select(
+        "episode_uuid",
+        "entity_uuid",
+        "name",
+        "name_norm",
+        "group_id",
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("end_pos").cast("long").alias("end_pos"),
+        F.unix_micros("valid_at").alias("valid_us"),
+    )
+
+
+def _q_asof_join_events(spark, sf_dir):
+    """Generic as-of join (operators/asof.py): each event picks up the most
+    recent order of the same user (o_orderdate <= ts, inclusive; ties on
+    (user, date) broken by max o_orderkey). Oracle: DuckDB's native ASOF
+    LEFT JOIN — a fully independent implementation of the semantics."""
+    from graphiti_spark.operators.asof import asof_join
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        # parquet stores TIMESTAMP_NTZ; session tz is UTC so the cast to
+        # (instant) timestamp is exact and unix_micros resolves below.
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+    )
+
+
+def _q_neardup_keep_canonical(spark, sf_dir):
+    """Dedup end-to-end: n-gram near-dup pairs -> connected components ->
+    one keep/drop verdict per document (datapipe/dedup.keep_canonical).
+    Oracle: recursive-CTE transitive closure over the same pair SQL."""
+    from graphiti_spark.datapipe.dedup import keep_canonical, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5, block_df_cap=200)
+    return keep_canonical(docs, pairs)
+
+
+def _q_streaming_entity_state(spark, sf_dir):
+    """Stateful streaming e2e: pages written as 8 files, streamed with
+    maxFilesPerTrigger=2 (4 real micro-batches), per-entity running state
+    accumulated via applyInPandasWithState and upserted per batch; the final
+    table is returned. Totals are micro-batch-split invariant by
+    construction (sums / distinct-set unions / min / max), so the oracle
+    restates the aggregation in SQL over the pinned raw-mentions golden —
+    the stateful accumulation itself is independently checked, the
+    extraction is regression-locked like every kg_* golden."""
+    import tempfile
+
+    from graphiti_spark.streaming.state import start_entity_state
+    from graphiti_spark.synth import pages_from_documents
+
+    tmp = tempfile.mkdtemp(prefix="stream_state_")
+    pages_from_documents(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(
+        f"{tmp}/pages"
+    )
+    q = start_entity_state(
+        spark, f"{tmp}/pages", f"{tmp}/out", max_files_per_trigger=2
+    )
+    q.awaitTermination()
+    df = spark.read.parquet(f"{tmp}/out/entity_state")
+    return df.select(
+        "entity_uuid",
+        "name_norm",
+        "mention_count",
+        "episode_count",
+        F.unix_micros("first_seen").alias("first_seen_us"),
+        F.unix_micros("last_seen").alias("last_seen_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- KG-construction pipeline (SURVEY §2.1-2.3; Python-UDF stages ->
@@ -660,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_mentions": _q_kg_mentions,
+        "kg_raw_mentions": _q_kg_raw_mentions,
         "kg_duplicate_pairs": _q_kg_duplicate_pairs,
         "kg_extract_text": _q_kg_extract_text,
         "kg_pagerank": _q_kg_pagerank,
@@ -669,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_json_edges": _q_kg_json_edges,
         # --- scans / windows / merge policy (SURVEY §2.1, §2.6) ---
         "episodes_asof": _q_episodes_asof,
+        "asof_join_events": _q_asof_join_events,
         "episode_context_window": _q_episode_context_window,
         "temporal_invalidation": _q_temporal_invalidation,
         "merge_props_agg": _q_merge_props_agg,
@@ -690,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _q_simhash_fingerprints,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "neardup_keep_canonical": _q_neardup_keep_canonical,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         # --- similarity search ---
         "ann_brute_topk": _q_ann_brute_topk,
@@ -706,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relevance_feedback": _q_relevance_feedback,
         # --- multimodal plumbing ---
         "multimodal_features": _q_multimodal_features,
+        # --- stateful streaming (applyInPandasWithState e2e) ---
+        "streaming_entity_state": _q_streaming_entity_state,
     }
 
 
@@ -731,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_nodes",
             "kg_edges",
             "kg_mentions",
+            "kg_raw_mentions",
             "kg_duplicate_pairs",
             "kg_extract_text",
             "kg_pagerank",
@@ -916,6 +1031,54 @@ def oracle_sql() -> dict[str, str]:
                             UNION
                             SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
             SELECT u AS uuid, min(v) AS canonical_uuid FROM reach GROUP BY u HAVING min(v) < u
+        """,
+        # keep_canonical: same transitive closure, then one verdict per doc.
+        # canonical = least(doc, min reachable) — identical to the Spark
+        # coalesce(canonical_uuid, doc_id) since CC's canonical is the
+        # component minimum and identity rows are omitted.
+        "neardup_keep_canonical": f"""
+            WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+            edges AS (SELECT CAST(id_a AS VARCHAR) AS u, CAST(id_b AS VARCHAR) AS v FROM npairs
+                      UNION SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM npairs),
+            reach(u, v) AS (SELECT u, v FROM edges
+                            UNION
+                            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+            canon AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   least(CAST(d.doc_id AS VARCHAR), coalesce(c.mv, CAST(d.doc_id AS VARCHAR))) AS canonical_id,
+                   least(CAST(d.doc_id AS VARCHAR), coalesce(c.mv, CAST(d.doc_id AS VARCHAR))) = CAST(d.doc_id AS VARCHAR) AS is_kept
+            FROM documents d LEFT JOIN canon c ON CAST(d.doc_id AS VARCHAR) = c.u
+        """,
+        # asof_join: DuckDB's NATIVE ASOF LEFT JOIN — a fully independent
+        # implementation of the backward-inclusive point-in-time semantics;
+        # (user, date) ties pre-broken by max o_orderkey on both engines.
+        "asof_join_events": """
+            WITH rd AS (
+              SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                          ORDER BY o_orderkey DESC) AS rn
+                FROM orders) WHERE rn = 1),
+            e AS (SELECT event_id, ts, user_id, event_type FROM events WHERE event_id % 10 = 0)
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
+                   rd.o_orderkey, rd.o_totalprice, epoch_us(rd.o_orderdate) AS o_orderdate_us
+            FROM e ASOF LEFT JOIN rd ON e.user_id = rd.user_id AND e.ts >= rd.o_orderdate
+        """,
+        # streaming_entity_state: the stateful accumulation restated as a
+        # batch aggregate over the PINNED raw-mentions golden — totals are
+        # micro-batch-split invariant (sum / distinct-union / min / max), so
+        # any double-count or lost-state bug in applyInPandasWithState
+        # diverges from this SQL even though extraction itself is
+        # golden-locked.
+        "streaming_entity_state": """
+            SELECT entity_uuid,
+                   min(name_norm) AS name_norm,
+                   count(*) AS mention_count,
+                   count(DISTINCT episode_uuid) AS episode_count,
+                   min(valid_us) AS first_seen_us,
+                   max(valid_us) AS last_seen_us
+            FROM read_parquet('/root/repo/tests/golden/sf0.01/kg_raw_mentions.parquet')
+            GROUP BY entity_uuid
         """,
         "embedding_cosine_pairs": f"""
             WITH e0 AS (SELECT vec_id, embedding, {_SIG8} AS sig FROM embeddings),

@@ -458,6 +458,49 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Close the dedup loop: near-dup PAIRS -> per-document keep/drop verdict.
+
+    Every pair family above (exact groups aside) emits (id_a, id_b) edges;
+    an actual dedup pass must then pick ONE survivor per near-dup CLUSTER —
+    the transitive closure of the pairs, not the pairs themselves (a~b, b~c
+    must drop two of three even if a~c was never emitted). This runs the
+    same large-star/small-star connected components used for entity
+    canonicalization (operators/components.py, the distributed twin of the
+    reference's UnionFind, bulk_utils.py:449-486) over the document pair
+    list and returns one row PER INPUT DOCUMENT:
+
+        (doc_id string, canonical_id string, is_kept boolean)
+
+    canonical_id = lexicographically smallest id string in the component
+    (identical to the entity uuid_map rule); singletons are their own
+    canonical and are kept. Downstream: `docs.join(out.filter("is_kept"),
+    id_col)` is the deduplicated corpus.
+
+    Scale shape: CC is O(log^2 n) one-shuffle rounds on the PAIR list (tiny
+    vs the corpus); the final attach is one broadcast-size left join — the
+    uuid_map remap pattern (non-identity rows only are shuffled).
+    """
+    p = pairs.select(
+        F.col("id_a").cast("string").alias("uuid_a"),
+        F.col("id_b").cast("string").alias("uuid_b"),
+    )
+    from graphiti_spark.operators.components import connected_components
+
+    cc = connected_components(p)  # (uuid, canonical_uuid), non-identity only
+    d = docs.select(F.col(id_col).cast("string").alias("doc_id"))
+    out = d.join(cc.withColumnRenamed("uuid", "doc_id"), "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("canonical_uuid", "doc_id").alias("canonical_id"),
+        (F.coalesce("canonical_uuid", "doc_id") == F.col("doc_id")).alias("is_kept"),
+    )
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -69,7 +69,17 @@ def make_score_pair_udf(config: PipelineConfig = DEFAULT_CONFIG):
     ~2s for a numpy einsum. One UDF = one Arrow transfer, vectorized dot,
     and difflib gated INSIDE the batch by the length-ratio bound.
 
-    The gate is sound, not heuristic: SequenceMatcher.ratio(a, b) =
+    The scorer takes ONLY the two normalized names. The hashed-ngram
+    embedding is itself a pure function of the name, so shipping the two
+    64-dim float arrays per pair through the dropDuplicates shuffle and the
+    Arrow channel cost far more than the scoring itself (measured sf0.1:
+    distinct 28.9s -> 3s, scorer 45.9s -> 5s after moving the embedding
+    in-UDF). Per-name embeddings are memoized per worker (zipfian name
+    reuse) and round-tripped through float32, because the entity catalog
+    stores ArrayType(FloatType) — cosine stays bit-identical to the
+    previous catalog-fed path.
+
+    The difflib gate is sound, not heuristic: SequenceMatcher.ratio(a, b) =
     2*matches/(len(a)+len(b)) <= 2*min/(min+max), so ratio >= t requires
     min/max >= t/(2-t). difflib therefore runs only when one of the two
     acceptance rules that read `fuzzy` (score_and_filter_pairs) could still
@@ -89,25 +99,40 @@ def make_score_pair_udf(config: PipelineConfig = DEFAULT_CONFIG):
     lr_min = config.node_min_score / (2.0 - config.node_min_score)
     cos_gate = config.maintenance_embedding_threshold
 
+    emb_memo: dict = {}  # per-worker: name -> float32-rounded embedding
+
     @F.pandas_udf(_SCORE_SCHEMA)
-    def score_pair_udf(
-        norm_a: pd.Series, norm_b: pd.Series, emb_a: pd.Series, emb_b: pd.Series
-    ) -> pd.DataFrame:
+    def score_pair_udf(norm_a: pd.Series, norm_b: pd.Series) -> pd.DataFrame:
         import numpy as np
+
+        from graphiti_spark.functions.embeddings import hashed_ngram_embedding_py
+
+        def _emb(name):
+            v = emb_memo.get(name)
+            if v is None:
+                if len(emb_memo) > 1_000_000:
+                    emb_memo.clear()
+                # float32 round-trip = the catalog's ArrayType(FloatType)
+                # storage, so cosine matches the materialized-column path bit
+                # for bit.
+                v = (
+                    np.asarray(hashed_ngram_embedding_py(name), dtype=np.float32)
+                    .astype(np.float64)
+                )
+                emb_memo[name] = v
+            return v
 
         a_list = [x or "" for x in norm_a]
         b_list = [x or "" for x in norm_b]
-        va = np.array([np.asarray(v, dtype=np.float64) for v in emb_a])
-        vb = np.array([np.asarray(v, dtype=np.float64) for v in emb_b])
-        cos = np.einsum("ij,ij->i", va, vb) if len(va) else np.zeros(0)
-
         n = len(a_list)
+        cos = np.zeros(n)
         jac = np.zeros(n)
         fuzzy = np.zeros(n)
         guard = np.empty(n, dtype=bool)
         multi = np.empty(n, dtype=bool)
         for i in range(n):
             a, b = a_list[i], b_list[i]
+            cos[i] = float(np.dot(_emb(a), _emb(b)))
             ta, tb = set(a.split("_")), set(b.split("_"))
             inter = len(ta & tb)
             union = len(ta | tb)
@@ -166,6 +191,47 @@ def entity_catalog(mentions: DataFrame) -> DataFrame:
     return ents.withColumn("name_embedding", hashed_ngram_embedding_udf("name_norm"))
 
 
+def _bucket_pairs(rows: DataFrame, key_cols: list[str], cap) -> DataFrame:
+    """(key..., entity_uuid) rows -> distinct (group_id, uuid_a, uuid_b)
+    pairs per bucket, uuid_a < uuid_b, buckets above `cap` MEMBERS dropped.
+
+    ONE aggregation per blocker: groupBy(bucket) collects the member set and
+    counts occurrences in the same pass, then enumerates i<j pairs with a
+    JVM array expression. Replaces the previous bucket-size-join +
+    self-join formulation — same output, but one shuffle instead of three
+    (size agg, join back, self-join) and no cached table scanned twice.
+    Measured at sf0.01/local[32]: block1+block2 53s -> ~4s, identical pairs.
+    The `cap` contract is unchanged: occurrence count per bucket (block1
+    tokens can repeat within a name; LSH rows are unique per entity)."""
+    g = (
+        rows.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_set("entity_uuid")).alias("us"),
+        )
+        .filter((F.col("df") <= cap) & (F.size("us") >= 2))
+    )
+    # sorted members -> i<j enumeration by construction: element i pairs with
+    # the slice AFTER it. Exactly C(n,2) cells, no n² scratch, no null filter.
+    n = F.size("us")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice("us", i + 1, n - i),
+                lambda x: F.struct(
+                    F.element_at("us", i).alias("ua"), x.alias("ub")
+                ),
+            ),
+        )
+    )
+    return g.select("group_id", F.explode(pairs).alias("p")).select(
+        "group_id",
+        F.col("p.ua").alias("uuid_a"),
+        F.col("p.ub").alias("uuid_b"),
+    )
+
+
 def candidate_pairs(
     entities: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
@@ -173,10 +239,11 @@ def candidate_pairs(
 ) -> DataFrame:
     """Blocked candidate pairs (uuid_a < uuid_b), token-block ∪ MinHash-LSH.
 
-    ``caches``: optional sink for the intermediate persist() handles — the
-    caller unpersists them once the ER chain is materialized. Left cached,
-    they inflate the JVM live set for the whole run and every GC pays to
-    re-copy them (measured ~6 GB live -> multi-second young pauses)."""
+    Each blocker is a single groupBy-and-enumerate pass (`_bucket_pairs`);
+    nothing needs persisting, so ``caches`` is accepted for signature
+    stability but left empty. Buckets above ``blocking_token_max_df``
+    members are dropped — bounded fan-out under skew; worst case per bucket
+    is cap² array cells enumerated JVM-side, never a shuffled cross join."""
     base = entities.select(
         "group_id",
         "entity_uuid",
@@ -185,30 +252,10 @@ def candidate_pairs(
     )
 
     # --- block 1: shared normalized token, document-frequency capped ---
-    # persist(): the exploded token table feeds the df-cap aggregate AND both
-    # sides of the self-join — without the barrier each consumer re-explodes.
-    tok = (
-        base.select("group_id", "entity_uuid", F.explode("toks").alias("tok"))
-        .filter(F.length("tok") >= 2)
-        .persist()
-    )
-    if caches is not None:
-        caches.append(tok)
-    tok_df = tok.groupBy("group_id", "tok").agg(F.count(F.lit(1)).alias("df"))
-    tok = tok.join(
-        tok_df.filter(F.col("df") <= config.blocking_token_max_df).select("group_id", "tok"),
-        ["group_id", "tok"],
-    )
-    block1 = (
-        tok.alias("a")
-        .join(tok.alias("b"), ["group_id", "tok"])
-        .filter(F.col("a.entity_uuid") < F.col("b.entity_uuid"))
-        .select(
-            "group_id",
-            F.col("a.entity_uuid").alias("uuid_a"),
-            F.col("b.entity_uuid").alias("uuid_b"),
-        )
-    )
+    tok = base.select(
+        "group_id", "entity_uuid", F.explode("toks").alias("tok")
+    ).filter(F.length("tok") >= 2)
+    block1 = _bucket_pairs(tok, ["group_id", "tok"], config.blocking_token_max_df)
 
     # --- block 2: banded MinHash-LSH over char-3-grams (catches typos with
     # no shared whole token: "graphiti" vs "graphitti"). Bands of r=1 row:
@@ -221,43 +268,20 @@ def candidate_pairs(
         "entity_uuid",
         *minhash_cols(_char_ngrams_col(F.col("name_norm"), config.lsh_ngram_size), n_hashes),
     )
-    bands = [
-        grams.select(
-            "group_id",
-            "entity_uuid",
-            F.lit(i).alias("band"),
-            F.col(f"mh{i}").alias("band_hash"),
-        )
-        for i in range(n_hashes)
-    ]
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
-    # persist(): each of the 8 band branches re-evaluates the md5 minhash
-    # family over the char-3-gram arrays; materializing the banded table once
-    # stops the bucket-size aggregate and both self-join sides from paying
-    # that 8x again.
-    banded = banded.persist()
-    if caches is not None:
-        caches.append(banded)
-    bucket_sizes = banded.groupBy("group_id", "band", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_n")
-    )
-    banded = banded.join(
-        bucket_sizes.filter(F.col("bucket_n") <= config.blocking_token_max_df).select(
-            "group_id", "band", "band_hash"
+    # posexplode of the signature array unpivots all bands in one pass (the
+    # former 8-way unionByName re-planned the minhash family per band).
+    # NULL signatures (empty name_norm) are dropped exactly as the previous
+    # equi-join on band_hash dropped them (NULL never equi-joins) — without
+    # the filter, groupBy would treat NULL as a real bucket value.
+    banded = grams.select(
+        "group_id",
+        "entity_uuid",
+        F.posexplode(F.array(*[F.col(f"mh{i}") for i in range(n_hashes)])).alias(
+            "band", "band_hash"
         ),
-        ["group_id", "band", "band_hash"],
-    )
-    block2 = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["group_id", "band", "band_hash"])
-        .filter(F.col("a.entity_uuid") < F.col("b.entity_uuid"))
-        .select(
-            "group_id",
-            F.col("a.entity_uuid").alias("uuid_a"),
-            F.col("b.entity_uuid").alias("uuid_b"),
-        )
+    ).filter(F.col("band_hash").isNotNull())
+    block2 = _bucket_pairs(
+        banded, ["group_id", "band", "band_hash"], config.blocking_token_max_df
     )
 
     return block1.unionByName(block2).dropDuplicates(["group_id", "uuid_a", "uuid_b"])
@@ -281,8 +305,11 @@ def score_and_filter_pairs(
     # avg-block-size) — always the big side — so broadcasting the catalog
     # keeps it from shuffling. Valid while the catalog fits executor memory
     # (~300B/entity -> ~3GB per 10^7 entities); beyond that, drop the hint
-    # and let AQE pick a shuffled hash join on the same key.
-    e = F.broadcast(entities.select("group_id", "entity_uuid", "name_norm", "name_embedding"))
+    # and let AQE pick a shuffled hash join on the same key. Only the two
+    # name strings travel — the scorer derives the embedding in-UDF
+    # (make_score_pair_udf), so the 64-dim arrays never enter the broadcast,
+    # the distinct shuffle, or the Arrow channel.
+    e = F.broadcast(entities.select("group_id", "entity_uuid", "name_norm"))
     # Two consumers traverse the candidate-pair lineage below (the distinct
     # name-pair branch and the score join-back) — cache the slim uuid-pair
     # table once so the blocking self-joins don't run twice. ~60 B/row; the
@@ -296,7 +323,6 @@ def score_and_filter_pairs(
                 "group_id",
                 F.col("entity_uuid").alias("uuid_a"),
                 F.col("name_norm").alias("norm_a"),
-                F.col("name_embedding").alias("emb_a"),
             ),
             ["group_id", "uuid_a"],
         ).join(
@@ -304,7 +330,6 @@ def score_and_filter_pairs(
                 "group_id",
                 F.col("entity_uuid").alias("uuid_b"),
                 F.col("name_norm").alias("norm_b"),
-                F.col("name_embedding").alias("emb_b"),
             ),
             ["group_id", "uuid_b"],
         )
@@ -330,14 +355,14 @@ def score_and_filter_pairs(
     score_pair_udf = make_score_pair_udf(config)
     width = 3 * pairs.sparkSession.sparkContext.defaultParallelism
     distinct_names = (
-        j.select("norm_a", "norm_b", "emb_a", "emb_b")
+        j.select("norm_a", "norm_b")
         .dropDuplicates(["norm_a", "norm_b"])
         .repartition(width, "norm_a", "norm_b")
     )
     name_scores = distinct_names.select(
         "norm_a",
         "norm_b",
-        score_pair_udf("norm_a", "norm_b", "emb_a", "emb_b").alias("s"),
+        score_pair_udf("norm_a", "norm_b").alias("s"),
     ).select("norm_a", "norm_b", "s.*")
     # Materialization barrier on the (small) distinct-scores table: without
     # it, predicate pushdown would inline the scored columns into every

@@ -74,6 +74,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # RPC robustness under CPU starvation: when the whole JVM is pinned
+        # to few cores (tools/scaling_bench.py --pin) or the host is
+        # saturated, netty/heartbeat threads can starve past the default
+        # 120s network timeout and the driver endpoint "disappears",
+        # shutting the context down mid-job (observed at local[2] pinned to
+        # 2 cores). Generous timeouts cost nothing when healthy.
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.rpc.askTimeout", "600s")
+        .config("spark.rpc.lookupTimeout", "600s")
     )
     # JVM tuning (override with SPARK_GRAFT_JAVA_OPTS). This is a batch
     # engine: GC pause times are irrelevant, GC CPU is not — default G1's

@@ -30,6 +30,7 @@ GOLDEN_QUERIES = [
     "kg_nodes",
     "kg_edges",
     "kg_mentions",
+    "kg_raw_mentions",
     "kg_duplicate_pairs",
     "kg_extract_text",
     "kg_pagerank",
