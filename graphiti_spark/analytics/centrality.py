@@ -52,13 +52,22 @@ def pagerank(
     dst_col: str = "target_node_uuid",
     damping: float = DEFAULT_CONFIG.pagerank_damping,
     iterations: int = DEFAULT_CONFIG.pagerank_iterations,
+    dangling_mode: str = "crossjoin",
 ) -> DataFrame:
     """Power iteration (centrality_operations.py:58-156, algorithms.rs:12-57):
     rank = (1-d)/n + d * (sum of in-contributions + dangling_mass/n).
 
     Returns (uuid, pagerank). Deterministic: fixed iteration count, double
     arithmetic, no sampling.
+
+    ``dangling_mode`` selects how the dangling-node rank mass re-enters the
+    update: ``"crossjoin"`` (default) broadcast-crossJoins the 1-row dangling
+    aggregate so each iteration is one Spark job; ``"collect"`` collects the
+    scalar to the driver first (a per-iteration driver barrier — kept only
+    for the paired A/B in tools/pagerank_ab.py; identical output).
     """
+    if dangling_mode not in ("crossjoin", "collect"):
+        raise ValueError(f"dangling_mode must be crossjoin|collect, got {dangling_mode!r}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).dropDuplicates(
         ["src", "dst"]
     )
@@ -91,6 +100,10 @@ def pagerank(
             ranks.join(out_deg.withColumnRenamed("src", "uuid"), "uuid", "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
+        if dangling_mode == "collect":
+            dangling_df = ranks.sparkSession.createDataFrame(
+                [(float(dangling_df.collect()[0][0]),)], "_dangling double"
+            )
         ranks = (
             nodes.join(contribs, "uuid", "left")
             .crossJoin(F.broadcast(dangling_df))

@@ -187,7 +187,16 @@ def entity_catalog(mentions: DataFrame) -> DataFrame:
             F.min(F.struct("episode_uuid", "name"))["name"].alias("name"),
             F.count(F.lit(1)).alias("mention_count"),
         )
-    ).withColumn("name_norm", identity_normalize_udf("name"))
+    )
+    # Catalog rows are few and small, so AQE coalesces the post-groupBy
+    # shuffle to 1-3 partitions — which would run the two python UDFs below
+    # on 1-3 cores at any parallelism level (measured: a flat ~31 s
+    # s5_entities at local[2] AND local[8]). Explicit hash repartition (AQE
+    # leaves it alone) restores UDF-stage parallelism.
+    width = 3 * mentions.sparkSession.sparkContext.defaultParallelism
+    ents = ents.repartition(width, "group_id", "entity_uuid").withColumn(
+        "name_norm", identity_normalize_udf("name")
+    )
     return ents.withColumn("name_embedding", hashed_ngram_embedding_udf("name_norm"))
 
 
@@ -211,24 +220,32 @@ def _bucket_pairs(rows: DataFrame, key_cols: list[str], cap) -> DataFrame:
         )
         .filter((F.col("df") <= cap) & (F.size("us") >= 2))
     )
+    # Hash-repartition the bucket table to full width BEFORE enumerating:
+    # aggregated buckets are tiny in BYTES, so AQE's size-based coalescing
+    # folds the post-groupBy shuffle to 1-3 partitions and the (CPU-heavy)
+    # enumeration runs on 1-3 cores at ANY parallelism level — measured as a
+    # ~constant 280 s s5 stage at local[2] AND local[8] (sf0.1 x4). Explicit
+    # repartition is exempt from AQE coalescing; same trick as the scorer's
+    # distinct-name repartition below.
+    width = 3 * rows.sparkSession.sparkContext.defaultParallelism
+    g = g.repartition(width, *key_cols)
     # sorted members -> i<j enumeration by construction: element i pairs with
-    # the slice AFTER it. Exactly C(n,2) cells, no n² scratch, no null filter.
+    # the slice AFTER it. Two chained codegen'd generators (explode of
+    # sequence, then explode of slice) instead of one interpreted
+    # flatten/transform lambda tree: per-element lambda eval is interpreted
+    # (the minhash lesson), and the old single flatten materialized the whole
+    # C(n,2) struct array per bucket row — multi-MB young-gen allocations
+    # that drove 14-48 s GC pauses under pinned cores.
     n = F.size("us")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice("us", i + 1, n - i),
-                lambda x: F.struct(
-                    F.element_at("us", i).alias("ua"), x.alias("ub")
-                ),
-            ),
+    return (
+        g.select("group_id", "us", F.explode(F.sequence(F.lit(1), n - 1)).alias("i"))
+        .select(
+            "group_id",
+            F.element_at("us", F.col("i")).alias("uuid_a"),
+            F.explode(
+                F.slice("us", F.col("i") + F.lit(1), F.size("us") - F.col("i"))
+            ).alias("uuid_b"),
         )
-    )
-    return g.select("group_id", F.explode(pairs).alias("p")).select(
-        "group_id",
-        F.col("p.ua").alias("uuid_a"),
-        F.col("p.ub").alias("uuid_b"),
     )
 
 

@@ -66,6 +66,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES (default min 1MB),
+        # but this engine's post-shuffle stages are often python-UDF-heavy on
+        # byte-small tables (entity catalog -> embedding UDF, merged edges ->
+        # fact-embedding UDF): at the default, a 3MB catalog collapses to 1-3
+        # partitions and the UDF runs on 1-3 cores at ANY cluster size —
+        # measured as flat, non-scaling stage walls at local[2] vs local[8].
+        # 64k keeps such stages wide; truly tiny shuffles still coalesce.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

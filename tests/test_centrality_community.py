@@ -28,6 +28,20 @@ def test_pagerank_sums_to_one_and_orders(spark):
     assert ranks["hub"] > ranks["a"] == ranks["b"] == ranks["c"]
 
 
+def test_pagerank_dangling_modes_identical(spark):
+    # 'hub' is dangling (no out-edges): both dangling-mass formulations must
+    # produce the exact same ranks (collect is the A/B-only driver-barrier
+    # variant, crossjoin the default one-job-per-iteration path).
+    e = _edges(spark, [("a", "hub"), ("b", "hub"), ("a", "b")])
+    cj = {r["uuid"]: r["pagerank"] for r in pagerank(e, iterations=8).collect()}
+    co = {
+        r["uuid"]: r["pagerank"]
+        for r in pagerank(e, iterations=8, dangling_mode="collect").collect()
+    }
+    assert cj == co
+    assert abs(sum(cj.values()) - 1.0) < 1e-9
+
+
 def test_pagerank_two_cycle_symmetric(spark):
     e = _edges(spark, [("a", "b"), ("b", "a")])
     ranks = {r["uuid"]: r["pagerank"] for r in pagerank(e, iterations=5).collect()}
