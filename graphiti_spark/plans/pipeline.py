@@ -176,6 +176,19 @@ def _materialize_parallel(ledger: StageLedger, *specs) -> list[DataFrame]:
         return [f.result() for f in futs]
 
 
+def ensure_scan_width(spark: SparkSession, pages: DataFrame, key: str = "url") -> DataFrame:
+    """Input width guard: a small corpus can arrive as ONE parquet split
+    (sf0.1 documents.parquet is a single 594 KB file — far below
+    files.maxPartitionBytes), which would run the S1-S3 Arrow-UDF chain on
+    one core at ANY parallelism level. Hash-repartition on ``key``
+    (deterministic row placement) to 3 waves per core. At warehouse scale
+    the scan already has >> cores splits and this is a no-op."""
+    par = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < par:
+        return pages.repartition(3 * par, key)
+    return pages
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -197,6 +210,8 @@ def run_pipeline(
     ledger = StageLedger(
         spark, output_dir, config, extra_hash=repr(registry) if registry is not None else ""
     )
+
+    pages = ensure_scan_width(spark, pages)
 
     # s1 has exactly one consumer (s2): in-memory mode folds it into the s2
     # job instead of paying a barrier.

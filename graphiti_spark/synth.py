@@ -124,6 +124,11 @@ def typed_pages_from_documents(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if limit:
         docs = docs.filter(F.col("doc_id") < limit)
+    # Same scan-width guard as pages_from_documents: widen BELOW the
+    # content-building UDF so it doesn't run on one core for 1-split inputs.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(3 * par, "doc_id")
     return docs.select(
         F.concat(
             F.lit("https://chat."), F.col("source"), F.lit(".example.com/"), F.lit(source_type),
@@ -147,6 +152,13 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -
     urls, hosts, and html) — used by the scaling benchmark to build a
     compute-dominant corpus at the same small storage footprint."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Width guard at the SCAN (before the html-build UDF projection — an
+    # exchange added above the projection would still run the UDF narrow):
+    # small sf dirs are a single parquet split, which would build html on one
+    # core at any parallelism. No-op when the scan already has >= cores splits.
+    par = spark.sparkContext.defaultParallelism
+    if replicate <= 1 and docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(3 * par, "doc_id")
     if replicate > 1:
         variants = [
             docs.select(

@@ -77,3 +77,15 @@ def test_mentions_stage_is_shuffle_free(spark):
     eps = episodes_stage(extract_text_stage(fixture_pages_df(spark)))
     plan = _plan(mentions_stage(eps))
     assert "Exchange" not in plan  # pure map stages: no shuffle boundary
+
+
+def test_input_width_guard_widens_narrow_scans(spark):
+    from graphiti_spark.plans.pipeline import ensure_scan_width
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).select(F.concat(F.lit("u"), "id").alias("url")).coalesce(1)
+    widened = ensure_scan_width(spark, narrow)
+    assert widened.rdd.getNumPartitions() == 3 * par
+    # already-wide inputs (warehouse scans) pass through untouched: no shuffle
+    wide = spark.range(1000).select(F.concat(F.lit("u"), "id").alias("url")).repartition(4 * par)
+    assert ensure_scan_width(spark, wide) is wide
