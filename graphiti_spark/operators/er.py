@@ -38,6 +38,7 @@ from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
 from graphiti_spark.config import DEFAULT_CONFIG, PipelineConfig
 from graphiti_spark.functions.embeddings import hashed_ngram_embedding_udf
 from graphiti_spark.functions.hashing import minhash_cols
+from graphiti_spark.session import plan_width
 
 
 @F.pandas_udf(DoubleType())
@@ -193,7 +194,7 @@ def entity_catalog(mentions: DataFrame) -> DataFrame:
     # on 1-3 cores at any parallelism level (measured: a flat ~31 s
     # s5_entities at local[2] AND local[8]). Explicit hash repartition (AQE
     # leaves it alone) restores UDF-stage parallelism.
-    width = 3 * mentions.sparkSession.sparkContext.defaultParallelism
+    width = plan_width(mentions.sparkSession)
     ents = ents.repartition(width, "group_id", "entity_uuid").withColumn(
         "name_norm", identity_normalize_udf("name")
     )
@@ -227,7 +228,7 @@ def _bucket_pairs(rows: DataFrame, key_cols: list[str], cap) -> DataFrame:
     # ~constant 280 s s5 stage at local[2] AND local[8] (sf0.1 x4). Explicit
     # repartition is exempt from AQE coalescing; same trick as the scorer's
     # distinct-name repartition below.
-    width = 3 * rows.sparkSession.sparkContext.defaultParallelism
+    width = plan_width(rows.sparkSession)
     g = g.repartition(width, *key_cols)
     # sorted members -> i<j enumeration by construction: element i pairs with
     # the slice AFTER it. Two chained codegen'd generators (explode of
@@ -370,7 +371,7 @@ def score_and_filter_pairs(
     # coalescing would fold it into 1-2 partitions and run the scorer on 1-2
     # cores. Hash repartition (deterministic, unlike round-robin) spreads it.
     score_pair_udf = make_score_pair_udf(config)
-    width = 3 * pairs.sparkSession.sparkContext.defaultParallelism
+    width = plan_width(pairs.sparkSession)
     distinct_names = (
         j.select("norm_a", "norm_b")
         .dropDuplicates(["norm_a", "norm_b"])

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from graphiti_spark.config import DEFAULT_CONFIG, PipelineConfig
 from graphiti_spark.operators.components import connected_components
+from graphiti_spark.session import plan_width
 from graphiti_spark.operators.edge_merge import (
     build_duplicate_of_edges,
     canonical_nodes,
@@ -185,7 +186,7 @@ def ensure_scan_width(spark: SparkSession, pages: DataFrame, key: str = "url") -
     the scan already has >> cores splits and this is a no-op."""
     par = spark.sparkContext.defaultParallelism
     if pages.rdd.getNumPartitions() < par:
-        return pages.repartition(3 * par, key)
+        return pages.repartition(plan_width(spark), key)
     return pages
 
 

@@ -21,6 +21,24 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
+def plan_width(spark: SparkSession) -> int:
+    """Partition width for explicit repartitions in the plan.
+
+    On a real cluster this is a property of the DATA (bytes / target
+    partition size), not of the cluster: you do not change shuffle widths
+    when growing from N to 4N executors — you add task slots that drain the
+    same task queue faster. ``SPARK_GRAFT_PLAN_WIDTH`` pins it (the scaling
+    bench sets one width for both cluster sizes so the two legs execute the
+    IDENTICAL plan and the wall ratio measures scheduling, not per-task
+    fixed overhead × a level-dependent task count). Default: 3 waves per
+    core of the current session — the local-mode heuristic.
+    """
+    w = os.environ.get("SPARK_GRAFT_PLAN_WIDTH")
+    if w:
+        return int(w)
+    return 3 * spark.sparkContext.defaultParallelism
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship graphiti_spark to executor Python workers (the in-session twin of
     ``spark-submit --py-files graphiti_spark.zip``). Without it, pandas UDFs

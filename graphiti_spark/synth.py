@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
+from graphiti_spark.session import plan_width
 
 _HEAD = (
     "<html><head><title>Doc</title><script>var t=1;</script>"
@@ -128,7 +129,7 @@ def typed_pages_from_documents(
     # content-building UDF so it doesn't run on one core for 1-split inputs.
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(3 * par, "doc_id")
+        docs = docs.repartition(plan_width(spark), "doc_id")
     return docs.select(
         F.concat(
             F.lit("https://chat."), F.col("source"), F.lit(".example.com/"), F.lit(source_type),
@@ -158,7 +159,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -
     # core at any parallelism. No-op when the scan already has >= cores splits.
     par = spark.sparkContext.defaultParallelism
     if replicate <= 1 and docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(3 * par, "doc_id")
+        docs = docs.repartition(plan_width(spark), "doc_id")
     if replicate > 1:
         variants = [
             docs.select(
@@ -175,7 +176,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -
         # 3 waves per core (not 1): the downstream Arrow-UDF map stages
         # inherit this partitioning, and one-task-per-core means every
         # straggler doc idles the other cores behind it.
-        docs = base.repartition(max(3 * spark.sparkContext.defaultParallelism, replicate))
+        docs = base.repartition(max(plan_width(spark), replicate))
     return docs.select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")).alias("url"),
         (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(mins=F.col("doc_id") % 525600)).alias("warc_ts"),

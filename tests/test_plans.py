@@ -79,6 +79,18 @@ def test_mentions_stage_is_shuffle_free(spark):
     assert "Exchange" not in plan  # pure map stages: no shuffle boundary
 
 
+def test_plan_width_env_override_pins_widths_across_levels(spark, monkeypatch):
+    from graphiti_spark.session import plan_width
+
+    par = spark.sparkContext.defaultParallelism
+    monkeypatch.delenv("SPARK_GRAFT_PLAN_WIDTH", raising=False)
+    assert plan_width(spark) == 3 * par
+    # pinned: the scaling bench sets ONE width for both cluster sizes so the
+    # two legs execute the identical plan
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_WIDTH", "24")
+    assert plan_width(spark) == 24
+
+
 def test_input_width_guard_widens_narrow_scans(spark):
     from graphiti_spark.plans.pipeline import ensure_scan_width
 

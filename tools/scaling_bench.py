@@ -89,6 +89,7 @@ def run_bench(
     replicate: int = 1,
     master: str | None = None,
     pin: bool = False,
+    fixed_width: int = 24,
 ) -> dict:
     env = dict(
         os.environ,
@@ -96,6 +97,20 @@ def run_bench(
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_PIPELINE_ONLY="1",
         SPARK_GRAFT_BENCH_REPLICATE=str(replicate),
+        # IDENTICAL plan at both cluster sizes: shuffle width and explicit
+        # repartition width are properties of the DATA on a real cluster
+        # (bytes / target partition size) — growing N→4N executors adds task
+        # slots, it does not change the plan. Level-dependent widths made the
+        # 4N leg run 4x the task count, paying 4x the per-task fixed overhead
+        # (python batch setup, memo cold-start, task serialization): measured
+        # +23% total CPU at the 4N level, capping eff_wall at ~0.70 even in
+        # quiet windows. Both knobs honor a caller override.
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(fixed_width)
+        ),
+        SPARK_GRAFT_PLAN_WIDTH=os.environ.get(
+            "SPARK_GRAFT_PLAN_WIDTH", str(fixed_width)
+        ),
         # Throughput GC, worker pool sized to the LEVEL, not the host: JVM
         # ergonomics otherwise size GC threads from the host's 32 cores, and
         # G1's concurrent marking burned >2x the entire job's compute at high
@@ -201,7 +216,12 @@ def main() -> None:
     for t in range(args.trials):
         for cpus in (args.low, args.high):
             r = run_bench(
-                args.sf_dir, cpus, args.replicate, master=masters[cpus], pin=args.pin
+                args.sf_dir,
+                cpus,
+                args.replicate,
+                master=masters[cpus],
+                pin=args.pin,
+                fixed_width=3 * args.high,
             )
             runs[cpus].append(r)
             print(
@@ -225,6 +245,9 @@ def main() -> None:
                 "replicate": args.replicate,
                 "mode": args.mode,
                 "pinned": args.pin,
+                "plan_width": int(
+                    os.environ.get("SPARK_GRAFT_PLAN_WIDTH", 3 * args.high)
+                ),
                 "masters": {str(k): v for k, v in masters.items()},
                 "low_cpus": args.low,
                 "high_cpus": args.high,
