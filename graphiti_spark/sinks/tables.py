@@ -69,8 +69,16 @@ def upsert_table(
     target: str,
     key: str = "uuid",
     partition_by: list[str] | None = None,
+    delete_keys: DataFrame | None = None,
 ) -> None:
     """Upsert `df` into `target`.
+
+    ``delete_keys``: optional single-column DataFrame of `key` values to
+    REMOVE from the target in the same atomic swap — the `WHEN MATCHED AND
+    s._op = 'delete' THEN DELETE` branch of Iceberg MERGE INTO. Needed by
+    incremental ingest: a canonical entity that merges into another cluster
+    vanishes (its node/edge uuids are superseded by rows under the new
+    canonical), so the superseded keys must be deleted, not just updated.
 
     - Iceberg catalog configured and `target` is a table name: snapshot-
       isolated MERGE INTO (atomic; concurrent-safe — the AtomicCentrality-
@@ -92,7 +100,14 @@ def upsert_table(
     import uuid as _uuid
 
     deduped = dedupe_for_upsert(df, key)
+    if delete_keys is not None:
+        delete_keys = delete_keys.select(F.col(delete_keys.columns[0]).alias(key)).distinct()
     if iceberg_available(spark) and "/" not in target:
+        if delete_keys is not None:
+            delete_keys.createOrReplaceTempView("_delete_keys")
+            spark.sql(
+                f"DELETE FROM {target} WHERE {key} IN (SELECT {key} FROM _delete_keys)"
+            )
         deduped.createOrReplaceTempView("_upsert_source")
         spark.sql(merge_into_sql(target, "_upsert_source", deduped.columns, key))
         return
@@ -131,11 +146,14 @@ def upsert_table(
         if pc and pc in deduped.columns and pc in existing.columns:
             from urllib.parse import unquote
 
+            probe_keys = deduped.select(key)
+            if delete_keys is not None:
+                probe_keys = probe_keys.unionByName(delete_keys).distinct()
             inc_parts = {r[0] for r in deduped.select(pc).distinct().collect()}
             matched_parts = {
                 r[0]
                 for r in existing.select(pc, key)
-                .join(deduped.select(key), key, "left_semi")
+                .join(probe_keys, key, "left_semi")
                 .select(pc)
                 .distinct()
                 .collect()
@@ -166,6 +184,8 @@ def upsert_table(
         if tgt_only:
             incoming = deduped.join(existing.select(key, *tgt_only), key, "left")
         survivors = existing.join(deduped.select(key), key, "left_anti").select(out_cols)
+        if delete_keys is not None:
+            survivors = survivors.join(delete_keys, key, "left_anti")
         merged = survivors.unionByName(incoming.select(out_cols))
     tmp = f"{target}._staged_{_uuid.uuid4().hex[:8]}"
     writer = merged.write.mode("overwrite")
