@@ -762,6 +762,52 @@ def _q_streaming_entity_state(spark, sf_dir):
     )
 
 
+_INCREMENTAL_CACHE: dict[str, dict] = {}
+
+
+def _pipeline_incremental(spark: SparkSession, sf_dir: str) -> dict:
+    """Replay the corpus through plans/incremental.py in two url-hash-split
+    batches against a fresh state dir. The oracle for the outputs is the
+    FULL-BATCH golden (kg_nodes/kg_edges): incremental(A); incremental(B)
+    must reproduce run_pipeline(A ∪ B) bit-for-bit — the add_episode-flow
+    equivalence contract (tests/test_incremental.py), checked here by the
+    driver at sf0.01."""
+    if sf_dir not in _INCREMENTAL_CACHE:
+        import tempfile
+
+        from graphiti_spark.plans.incremental import read_graph, run_pipeline_incremental
+        from graphiti_spark.synth import pages_from_documents
+
+        state = tempfile.mkdtemp(prefix="kg_inc_state_")
+        pages = pages_from_documents(spark, sf_dir)
+        run_pipeline_incremental(spark, pages.filter(F.crc32("url") % 2 == 0), state)
+        run_pipeline_incremental(spark, pages.filter(F.crc32("url") % 2 == 1), state)
+        _INCREMENTAL_CACHE[sf_dir] = read_graph(spark, state)
+    return _INCREMENTAL_CACHE[sf_dir]
+
+
+def _q_kg_incremental_nodes(spark, sf_dir):
+    g = _pipeline_incremental(spark, sf_dir)
+    return g["nodes"].select(
+        "uuid", "name", "name_norm", "group_id", F.col("mention_count").cast("long").alias("mention_count")
+    )
+
+
+def _q_kg_incremental_edges(spark, sf_dir):
+    g = _pipeline_incremental(spark, sf_dir)
+    return g["edges"].select(
+        "uuid",
+        "group_id",
+        "source_node_uuid",
+        "name",
+        "target_node_uuid",
+        "fact",
+        F.unix_micros("valid_at").alias("valid_us"),
+        F.unix_micros("invalid_at").alias("invalid_us"),
+        F.unix_micros("expired_at").alias("expired_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- KG-construction pipeline (SURVEY §2.1-2.3; Python-UDF stages ->
@@ -777,6 +823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_hybrid": _q_kg_search_hybrid,
         "kg_message_edges": _q_kg_message_edges,
         "kg_json_edges": _q_kg_json_edges,
+        # incremental two-batch replay must hit the FULL-batch goldens
+        "kg_incremental_nodes": _q_kg_incremental_nodes,
+        "kg_incremental_edges": _q_kg_incremental_edges,
         # --- scans / windows / merge policy (SURVEY §2.1, §2.6) ---
         "episodes_asof": _q_episodes_asof,
         "asof_join_events": _q_asof_join_events,
@@ -878,6 +927,12 @@ def oracle_sql() -> dict[str, str]:
     cos_ab = _COS.format(a="sa.embedding", b="sb.embedding")
     cos_vq = _COS.format(a="e.embedding", b="q.qv")
     terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+    # incremental replay oracles ARE the full-batch goldens: equivalence is
+    # the contract, so any drift between the incremental path and the full
+    # DAG fails the driver check outright.
+    golden["kg_incremental_nodes"] = golden["kg_nodes"]
+    golden["kg_incremental_edges"] = golden["kg_edges"]
 
     return {
         **golden,
