@@ -106,6 +106,26 @@ def main() -> None:
     timed("degree_centrality", lambda: degree_centrality(out["edges"]).count())
     timed("kg_pagerank10", lambda: pagerank(out["edges"], iterations=10).count())
 
+    # --- incremental ingest: a 10% delta batch against a 90% pre-built graph
+    # (plans/incremental.py). The timed number is the DELTA cost — the
+    # add_episode-flow metric a live deployment cares about; the bootstrap is
+    # untimed setup. Cost should track the delta + its affected neighborhood,
+    # not the corpus.
+    import shutil
+    import tempfile
+
+    from graphiti_spark.plans.incremental import run_pipeline_incremental
+
+    state = tempfile.mkdtemp(prefix="bench_inc_")
+    run_pipeline_incremental(spark, pages.filter(F.crc32("url") % 10 != 0), state)
+    timed(
+        "kg_incremental_delta",
+        lambda: run_pipeline_incremental(
+            spark, pages.filter(F.crc32("url") % 10 == 0), state
+        )["edges_upserted"],
+    )
+    shutil.rmtree(state, ignore_errors=True)
+
     result = {
         "metric": "kg_pipeline_e2e_sec",
         "value": round(pipeline_sec, 3),

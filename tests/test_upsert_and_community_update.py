@@ -83,6 +83,37 @@ def test_upsert_partition_pruned_rewrite(tmp_path, spark):
     assert not [d for d in os.listdir(tmp_path) if "_staged_" in d or "_old_" in d]
 
 
+def test_upsert_delete_keys(tmp_path, spark):
+    """delete_keys removes matched rows in the same atomic swap (the
+    WHEN MATCHED DELETE branch of MERGE INTO): a deleted key's partition is
+    touched even when no incoming row lands there, untouched partitions stay
+    hard-linked, and a key present in BOTH delete_keys and the source is
+    replaced (delete-then-insert)."""
+    target = str(tmp_path / "t")
+    first = spark.createDataFrame(
+        [("a", "g1", 1), ("b", "g2", 1), ("c", "g3", 1)],
+        "uuid string, group_id string, v int",
+    )
+    upsert_table(spark, first, target, partition_by=["group_id"])
+    g3_ino = {
+        f: os.stat(os.path.join(target, "group_id=g3", f)).st_ino
+        for f in os.listdir(os.path.join(target, "group_id=g3"))
+        if f.endswith(".parquet")
+    }
+    incoming = spark.createDataFrame([("b", "g2", 2)], "uuid string, group_id string, v int")
+    dels = spark.createDataFrame([("a",), ("b",)], "uuid string")
+    upsert_table(spark, incoming, target, partition_by=["group_id"], delete_keys=dels)
+    rows = {r["uuid"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert rows == {"b": 2, "c": 1}  # a deleted; b replaced; c untouched
+    assert not os.path.isdir(os.path.join(target, "group_id=g1"))
+    g3_after = {
+        f: os.stat(os.path.join(target, "group_id=g3", f)).st_ino
+        for f in os.listdir(os.path.join(target, "group_id=g3"))
+        if f.endswith(".parquet")
+    }
+    assert g3_after == g3_ino  # untouched partition still hard-linked
+
+
 def test_upsert_table_preserves_target_only_columns(tmp_path, spark):
     """MERGE INTO updates only the listed (source) columns — a column the
     incoming batch lacks must survive on ALL rows: matched rows keep their
