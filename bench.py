@@ -109,8 +109,11 @@ def main() -> None:
     # --- incremental ingest: a 10% delta batch against a 90% pre-built graph
     # (plans/incremental.py). The timed number is the DELTA cost — the
     # add_episode-flow metric a live deployment cares about; the bootstrap is
-    # untimed setup. Cost should track the delta + its affected neighborhood,
-    # not the corpus.
+    # untimed setup. Cost tracks the delta + its AFFECTED NEIGHBORHOOD, not
+    # the corpus — note the synthetic corpus is an adversarial upper bound
+    # for that neighborhood (its ~31-token vocabulary puts the same entities
+    # on every Nth page, so a 10% batch touches most canonical clusters);
+    # real webtext deltas touch a long tail and rebuild far less.
     import shutil
     import tempfile
 
