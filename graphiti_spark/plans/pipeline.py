@@ -182,7 +182,7 @@ def ensure_scan_width(spark: SparkSession, pages: DataFrame, key: str = "url") -
     (sf0.1 documents.parquet is a single 594 KB file — far below
     files.maxPartitionBytes), which would run the S1-S3 Arrow-UDF chain on
     one core at ANY parallelism level. Hash-repartition on ``key``
-    (deterministic row placement) to 3 waves per core. At warehouse scale
+    (deterministic row placement) to plan_width. At warehouse scale
     the scan already has >> cores splits and this is a no-op."""
     par = spark.sparkContext.defaultParallelism
     if pages.rdd.getNumPartitions() < par:

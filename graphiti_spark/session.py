@@ -30,13 +30,15 @@ def plan_width(spark: SparkSession) -> int:
     same task queue faster. ``SPARK_GRAFT_PLAN_WIDTH`` pins it (the scaling
     bench sets one width for both cluster sizes so the two legs execute the
     IDENTICAL plan and the wall ratio measures scheduling, not per-task
-    fixed overhead × a level-dependent task count). Default: 3 waves per
-    core of the current session — the local-mode heuristic.
+    fixed overhead × a level-dependent task count). Default: 1 wave per
+    core of the current session — explicit repartitions here feed uniform
+    hash-partitioned python-UDF stages, where extra waves only multiply
+    per-task fixed overhead (see get_spark's measured width A/B).
     """
     w = os.environ.get("SPARK_GRAFT_PLAN_WIDTH")
     if w:
         return int(w)
-    return 3 * spark.sparkContext.defaultParallelism
+    return spark.sparkContext.defaultParallelism
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -68,15 +70,20 @@ def get_spark(
         if env_sp is not None:
             shuffle_partitions = int(env_sp)
         else:
-            # 3 waves per core: one-task-per-core (1 wave) leaves cores idle
-            # behind every straggler; finer tasks smooth the tail. AQE
-            # coalesces the small ones back. On a real cluster this is
-            # thousands (set SPARK_GRAFT_SHUFFLE_PARTITIONS).
+            # 1 wave per core. Waves only pay when per-task durations are
+            # skewed; this engine's python-UDF stages sit behind HASH
+            # repartitions (uniform tasks), so extra waves just multiply the
+            # per-task fixed overhead (python worker batch setup, UDF memo
+            # cold start). Measured paired A/B at local[32] sf0.1: width 96
+            # (3 waves) ran the pipeline ~2x slower than width 32 in BOTH
+            # trials (74.4 vs 150.0 s, 52.1 vs 114.2 s). On a real cluster
+            # width is a DATA property — set SPARK_GRAFT_SHUFFLE_PARTITIONS
+            # to bytes/target-partition-size (thousands).
             m = re.fullmatch(r"local\[(\d+|\*)\]", master or "")
             cores = os.cpu_count() or 8
             if m and m.group(1) != "*":
                 cores = int(m.group(1))
-            shuffle_partitions = 3 * cores
+            shuffle_partitions = cores
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -173,9 +173,9 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -
         base = variants[0]
         for v in variants[1:]:
             base = base.unionByName(v)
-        # 3 waves per core (not 1): the downstream Arrow-UDF map stages
-        # inherit this partitioning, and one-task-per-core means every
-        # straggler doc idles the other cores behind it.
+        # plan_width partitions (1 wave/core by default): the downstream
+        # Arrow-UDF map stages inherit this partitioning; synthetic docs are
+        # uniform, so extra waves would only add per-task fixed overhead.
         docs = base.repartition(max(plan_width(spark), replicate))
     return docs.select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")).alias("url"),

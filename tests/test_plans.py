@@ -84,7 +84,7 @@ def test_plan_width_env_override_pins_widths_across_levels(spark, monkeypatch):
 
     par = spark.sparkContext.defaultParallelism
     monkeypatch.delenv("SPARK_GRAFT_PLAN_WIDTH", raising=False)
-    assert plan_width(spark) == 3 * par
+    assert plan_width(spark) == par
     # pinned: the scaling bench sets ONE width for both cluster sizes so the
     # two legs execute the identical plan
     monkeypatch.setenv("SPARK_GRAFT_PLAN_WIDTH", "24")
@@ -97,7 +97,7 @@ def test_input_width_guard_widens_narrow_scans(spark):
     par = spark.sparkContext.defaultParallelism
     narrow = spark.range(100).select(F.concat(F.lit("u"), "id").alias("url")).coalesce(1)
     widened = ensure_scan_width(spark, narrow)
-    assert widened.rdd.getNumPartitions() == 3 * par
+    assert widened.rdd.getNumPartitions() == par
     # already-wide inputs (warehouse scans) pass through untouched: no shuffle
     wide = spark.range(1000).select(F.concat(F.lit("u"), "id").alias("url")).repartition(4 * par)
     assert ensure_scan_width(spark, wide) is wide
