@@ -52,7 +52,7 @@ def pagerank(
     dst_col: str = "target_node_uuid",
     damping: float = DEFAULT_CONFIG.pagerank_damping,
     iterations: int = DEFAULT_CONFIG.pagerank_iterations,
-    dangling_mode: str = "collect",
+    dangling_mode: str = "crossjoin",
 ) -> DataFrame:
     """Power iteration (centrality_operations.py:58-156, algorithms.rs:12-57):
     rank = (1-d)/n + d * (sum of in-contributions + dangling_mass/n).
@@ -61,16 +61,19 @@ def pagerank(
     arithmetic, no sampling.
 
     ``dangling_mode`` selects how the dangling-node rank mass re-enters the
-    update: ``"collect"`` (default) collects the 1-row dangling aggregate to
-    the driver and re-broadcasts it as a literal; ``"crossjoin"``
-    broadcast-crossJoins the aggregate so each iteration is a single Spark
-    job. The paired A/B (tools/pagerank_ab.py, sf0.1×4 = 350k edges, 10
-    iterations, alternating trials, identical ranks) measured crossjoin 1.21×
-    SLOWER (median 28.3 s vs 23.4 s): the per-iteration broadcast-exchange
-    stage costs more than the driver barrier it removes. The collected value
-    is a SCALAR — O(1) driver traffic regardless of corpus size — so the
-    barrier is ~job-launch latency per iteration even on a 1000-executor
-    cluster; collect is the right default at every scale.
+    update: ``"crossjoin"`` (default) broadcast-crossJoins the 1-row dangling
+    aggregate so each iteration is a single Spark job with no driver barrier;
+    ``"collect"`` collects the scalar to the driver and re-broadcasts it as a
+    literal. Two paired A/Bs (tools/pagerank_ab.py, sf0.1×4 = 350k edges, 10
+    iterations, alternating trials, identical rank sums): on the OLD code —
+    which re-derived out_deg and ran an anti-join per iteration to find the
+    dangling mass — collect won 1.21× (median 23.4 s vs 28.3 s). After
+    precomputing the static ``_dangling_node`` flag below, the dangling
+    aggregate is a pure filter+sum over the checkpointed ranks and the two
+    modes tie (medians 15.9 vs 15.5 s, ratio 1.02, inside trial noise) while
+    both dropped ~40%. With local cost a wash, crossjoin is the right default:
+    it removes a per-iteration driver synchronization point, which is the only
+    term that grows with cluster latency (stragglers, RPC) at 1000 executors.
     """
     if dangling_mode not in ("crossjoin", "collect"):
         raise ValueError(f"dangling_mode must be crossjoin|collect, got {dangling_mode!r}")
@@ -89,21 +92,32 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # Edge list annotated with out-degree once; reused every iteration.
     e_w = e.join(out_deg, "src").localCheckpoint(eager=True)
+    # Dangling membership is STATIC — flag it on the node table once so the
+    # per-iteration dangling aggregate is a pure scan of the checkpointed
+    # ranks (filter + sum), not an anti-join that re-derives out_deg from
+    # the raw edge list every iteration (was: one extra groupBy shuffle +
+    # join per iteration, pure fixed cost at any scale).
+    nodes = nodes.join(
+        out_deg.select(F.col("src").alias("uuid"), F.lit(True).alias("_has_out")),
+        "uuid",
+        "left",
+    ).withColumn("_dangling_node", F.col("_has_out").isNull()).drop("_has_out").localCheckpoint(
+        eager=True
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iterations):
         contribs = (
-            e_w.join(ranks.withColumnRenamed("uuid", "src"), "src")
+            e_w.join(ranks.select(F.col("uuid").alias("src"), "rank"), "src")
             .groupBy(F.col("dst").alias("uuid"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
         # Dangling nodes (no out-edges) leak rank; redistribute uniformly.
         # Both modes feed the same 1-row aggregate into the update — see the
-        # docstring for the measured A/B; "collect" wins because a scalar
-        # driver round-trip is cheaper than a per-iteration broadcast stage.
-        dangling_df = (
-            ranks.join(out_deg.withColumnRenamed("src", "uuid"), "uuid", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+        # docstring for the measured A/B; they tie locally and "crossjoin"
+        # avoids a per-iteration driver barrier at cluster scale.
+        dangling_df = ranks.filter(F.col("_dangling_node")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
         if dangling_mode == "collect":
             dangling_df = ranks.sparkSession.createDataFrame(
@@ -121,7 +135,7 @@ def pagerank(
             .drop("contrib", "_dangling")
             .localCheckpoint(eager=True)
         )
-    return ranks.withColumnRenamed("rank", "pagerank")
+    return ranks.drop("_dangling_node").withColumnRenamed("rank", "pagerank")
 
 
 def multi_source_bfs(
