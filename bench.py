@@ -79,6 +79,20 @@ def main() -> None:
     # --- operator families over the same corpus ---
     from pyspark.sql import functions as F
 
+    # Release the pipeline's checkpointed outputs before timing the other
+    # operator families: the full `out` dict pins a multi-GB live set in the
+    # driver-side block store, and the resulting GC pressure was measured to
+    # inflate every subsequent query 2.5-5x (minhash_lsh_pairs 12.6 s with
+    # the handles live vs 3.6-6.9 s after release, same session, quiet host).
+    # Only the 2-column edge list survives — it is all degree/pagerank need.
+    edges = (
+        out["edges"]
+        .select("source_node_uuid", "target_node_uuid")
+        .localCheckpoint(eager=True)
+    )
+    out.clear()
+    spark._jvm.System.gc()
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
     docs.count()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
@@ -103,8 +117,8 @@ def main() -> None:
     timed("ann_brute_topk", lambda: brute_force_topk(emb, qvec, k=20).count())
     timed("ann_lsh_topk", lambda: lsh_bucketed_topk(emb, qvec, k=20).count())
 
-    timed("degree_centrality", lambda: degree_centrality(out["edges"]).count())
-    timed("kg_pagerank10", lambda: pagerank(out["edges"], iterations=10).count())
+    timed("degree_centrality", lambda: degree_centrality(edges).count())
+    timed("kg_pagerank10", lambda: pagerank(edges, iterations=10).count())
 
     # --- incremental ingest: a 10% delta batch against a 90% pre-built graph
     # (plans/incremental.py). The timed number is the DELTA cost — the
