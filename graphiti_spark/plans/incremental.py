@@ -49,6 +49,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -245,6 +246,15 @@ def run_pipeline_incremental(
     if not os.path.exists(_p(state_dir, _STATE_MARKER)):
         return _bootstrap(spark, pages, state_dir, config, registry)
 
+    timings: dict[str, float] = {}
+    _t0 = time.time()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        now = time.time()
+        timings[phase] = round(now - _t0, 2)
+        _t0 = now
+
     # ---- S1-S2 on the new batch; skip already-ingested episodes ----------
     episodes_all = episodes_stage(extract_text_stage(pages), config)
     existing_eps = _read(spark, state_dir, "episodes").select("uuid")
@@ -253,12 +263,14 @@ def run_pipeline_incremental(
     if n_new == 0:
         return {"new_episodes": 0, "skipped": True}
     bid = _batch_id(episodes_new)
+    _mark("s1_s2_episodes")
 
     # ---- S3-S4 on the new batch only --------------------------------------
     mentions_new = mentions_stage(episodes_new).localCheckpoint()
     triples_new = triples_stage(episodes_new).localCheckpoint()
     _append_batch(mentions_new, state_dir, "mentions_raw", bid)
     _append_batch(triples_new, state_dir, "triples_raw", bid)
+    _mark("s3_s4_extract")
 
     # ---- catalog refresh for entities seen in this batch ------------------
     # (re-seen old entities get their mention_count / deterministic
@@ -272,6 +284,7 @@ def run_pipeline_incremental(
     entities_touched = entity_catalog(touched_mentions).localCheckpoint()
     upsert_table(spark, entities_touched, _p(state_dir, "entities"), key="entity_uuid")
     entities_all = _read(spark, state_dir, "entities")
+    _mark("catalog_refresh")
 
     # ---- ER: pairs touching a new entity; CC over cumulative pairs --------
     pairs_new = score_and_filter_pairs(
@@ -283,8 +296,10 @@ def run_pipeline_incremental(
         .dropDuplicates(["group_id", "uuid_a", "uuid_b"])
         .localCheckpoint()
     )
+    _mark("er_pairs")
     map_old = _read(spark, state_dir, "uuid_map")
     map_new = connected_components(pairs_cum, config).localCheckpoint()
+    _mark("connected_components")
 
     # ---- affected canonical clusters ---------------------------------------
     # changed = entities whose canonical assignment differs between maps
@@ -336,6 +351,7 @@ def run_pipeline_incremental(
     upsert_table(
         spark, nodes_updated, _p(state_dir, "nodes"), partition_by=["group_id"], delete_keys=del_nodes
     )
+    _mark("nodes_rebuild_upsert")
 
     # ---- edges: recompute affected invalidation partitions completely -----
     # A partition is (group_id, canonical source, predicate) — the window key
@@ -395,6 +411,7 @@ def run_pipeline_incremental(
     upsert_table(
         spark, edges_updated, _p(state_dir, "edges"), partition_by=["group_id"], delete_keys=del_edges
     )
+    _mark("edges_rebuild_upsert")
 
     # ---- mentions: rebuild rows of affected clusters + the new batch ------
     raw_c = mentions_cum.join(
@@ -424,6 +441,7 @@ def run_pipeline_incremental(
         partition_by=["group_id"],
         delete_keys=del_mentions,
     )
+    _mark("mentions_rebuild_upsert")
 
     # ---- episodes + map state ---------------------------------------------
     upsert_table(spark, episodes_new, _p(state_dir, "episodes"), partition_by=["group_id"])
@@ -434,6 +452,7 @@ def run_pipeline_incremental(
         marker["batches"].append(bid)
     with open(_p(state_dir, _STATE_MARKER), "w") as f:
         json.dump(marker, f)
+    _mark("episodes_map_state")
 
     return {
         "batch_id": bid,
@@ -443,6 +462,7 @@ def run_pipeline_incremental(
         "rebuilt_edge_partitions": parts.count(),
         "nodes_upserted": nodes_updated.count(),
         "edges_upserted": edges_updated.count(),
+        "timings": timings,
     }
 
 
