@@ -70,6 +70,10 @@ from graphiti_spark.operators.er import (
 )
 from graphiti_spark.operators.extract_text import extract_text_stage
 from graphiti_spark.operators.ner import mentions_stage
+from graphiti_spark.operators.postings import (
+    candidate_pairs_from_postings,
+    entity_postings,
+)
 from graphiti_spark.operators.temporal import invalidate_contradictions
 from graphiti_spark.operators.triples import triples_stage
 from graphiti_spark.functions.hashing import minhash_cols
@@ -78,7 +82,7 @@ from graphiti_spark.sinks.tables import upsert_table
 
 _STATE_MARKER = "_state.json"
 # cumulative append-only inputs (batch dirs) vs upserted outputs
-_APPEND_TABLES = ("mentions_raw", "triples_raw", "duplicate_pairs")
+_APPEND_TABLES = ("mentions_raw", "triples_raw", "duplicate_pairs", "postings")
 
 
 def _p(state_dir: str, name: str) -> str:
@@ -217,7 +221,12 @@ def _bootstrap(
     upsert_table(spark, out["episodes_raw"], _p(state_dir, "episodes"), partition_by=["group_id"])
     # entity catalog state: keyed by entity_uuid (pre-canonical)
     ents = _read(spark, state_dir, "mentions_raw")
-    upsert_table(spark, entity_catalog(ents), _p(state_dir, "entities"), key="entity_uuid")
+    catalog = entity_catalog(ents).localCheckpoint()
+    upsert_table(spark, catalog, _p(state_dir, "entities"), key="entity_uuid")
+    # blocking-key postings for the full catalog (operators/postings.py):
+    # later increments look up candidate buckets by equi-join instead of
+    # re-tokenizing/re-minhashing the whole catalog.
+    _append_batch(entity_postings(catalog, config), state_dir, "postings", bid)
     upsert_table(spark, out["nodes"], _p(state_dir, "nodes"), partition_by=["group_id"])
     upsert_table(spark, out["edges"], _p(state_dir, "edges"), partition_by=["group_id"])
     upsert_table(spark, out["mentions"], _p(state_dir, "mentions"), partition_by=["group_id"])
@@ -287,9 +296,24 @@ def run_pipeline_incremental(
     _mark("catalog_refresh")
 
     # ---- ER: pairs touching a new entity; CC over cumulative pairs --------
-    pairs_new = score_and_filter_pairs(
-        entities_all, _incremental_candidate_pairs(entities_all, new_ids, config), config
-    )
+    # Preferred path: persisted blocking postings (operators/postings.py) —
+    # per-increment key computation is O(touched), and the bucket lookup is
+    # a broadcast semi-join over the postings scan instead of re-deriving
+    # keys for the whole catalog. Falls back to the inline recompute for
+    # state dirs created before the postings table existed.
+    if os.path.isdir(_p(state_dir, "postings")):
+        post_touched = entity_postings(entities_touched, config).localCheckpoint()
+        _append_batch(post_touched, state_dir, "postings", bid)
+        cands = candidate_pairs_from_postings(
+            _read(spark, state_dir, "postings"),
+            entities_all,
+            post_touched,
+            new_ids,
+            config,
+        )
+    else:
+        cands = _incremental_candidate_pairs(entities_all, new_ids, config)
+    pairs_new = score_and_filter_pairs(entities_all, cands, config)
     _append_batch(pairs_new, state_dir, "duplicate_pairs", bid)
     pairs_cum = (
         _read(spark, state_dir, "duplicate_pairs")
