@@ -490,6 +490,116 @@ def run_pipeline_incremental(
     }
 
 
+def compact_state(spark: SparkSession, state_dir: str) -> dict:
+    """Compact the append-only state tables into one batch dir per table.
+
+    The Spark-parquet restatement of Iceberg's ``rewrite_data_files`` +
+    equality-delete compaction: per-increment batch dirs accumulate
+    forever (every increment appends one dir to mentions_raw, triples_raw,
+    duplicate_pairs and postings), and the postings table additionally
+    carries stale rows for renamed entities that every read filters out
+    (operators/postings.py read-time invalidation). Compaction rewrites
+    each table to a single ``batch_compact_<n>`` dir holding exactly the
+    rows the read path would yield:
+
+      - mentions_raw / triples_raw: the union of committed batch dirs
+        (rows are disjoint across batches — appended only for new
+        episodes; a replayed batch overwrites its own dir),
+      - duplicate_pairs: deduped on (group_id, uuid_a, uuid_b) — the same
+        dropDuplicates every consumer applies,
+      - postings: rows validated against the CURRENT entity catalog on
+        (entity_uuid, name_sig) — stale postings of renamed entities are
+        physically dropped — then deduped on the read path's key
+        (group_id, kind, key, pos, entity_uuid).
+
+    Crash-consistent: each table is rewritten via the staged-dir + two-
+    rename swap (same protocol as upsert_table), with the same recovery
+    preamble — a stranded ``._old_inc`` with no live table is restored, a
+    stranded ``._staged_inc`` is swept. The marker is rewritten only after
+    every table swapped; a crash mid-loop leaves already-swapped tables
+    holding a ``batch_compact_<n>`` dir the old marker calls pending —
+    the retry recomputes the SAME cid (marker unchanged), re-folds the
+    not-yet-swapped tables, preserves the swapped ones' compact dir
+    verbatim via the pending path, and commits the marker once. Batch
+    dirs whose id is NOT in the state marker (a crashed, not-yet-
+    committed increment) are preserved byte-for-byte by hard-linking them
+    into the staged dir, so the crashed batch's replay stays idempotent
+    (it overwrites its own dir; its rows were never folded).
+
+    Semantics contract: read_graph and the next increment produce
+    IDENTICAL results before and after compaction (tests/test_incremental
+    .py::test_compaction_*). Run it when the state is quiescent — it is
+    the background `dedup every N episodes` maintenance slot the
+    reference's worker schedules (worker.py:232-233,397-401).
+    """
+    with open(_p(state_dir, _STATE_MARKER)) as f:
+        marker = json.load(f)
+    committed = set(marker["batches"])
+    compact_n = marker.get("compactions", 0) + 1
+    cid = f"compact_{compact_n:06d}"
+    entities_cur = _read(spark, state_dir, "entities")
+    from graphiti_spark.operators.postings import name_sig_col
+
+    cat_sigs = entities_cur.select(
+        "entity_uuid", name_sig_col(F.col("name_norm")).alias("name_sig")
+    )
+    stats: dict[str, dict] = {}
+    for name in _APPEND_TABLES:
+        table = _p(state_dir, name)
+        tmp, old = f"{table}._staged_inc", f"{table}._old_inc"
+        # recovery preamble (upsert_table pattern): restore a committed
+        # table stranded under ._old_inc by a crash in the rename gap;
+        # sweep a half-written staging dir.
+        if not os.path.isdir(table) and os.path.isdir(old):
+            os.rename(old, table)
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(table):
+            continue
+        batch_dirs = sorted(d for d in os.listdir(table) if d.startswith("batch_"))
+        pending = [d for d in batch_dirs if d[len("batch_"):] not in committed]
+        fold = [d for d in batch_dirs if d[len("batch_"):] in committed]
+        # Fold whenever ANY committed dir exists (even one): the marker is
+        # rewritten to [cid] for ALL tables at once, so a skipped table's
+        # old batch ids would fall out of the committed set and its dirs
+        # would be stranded as forever-pending. A crash-retry hits the
+        # fold-empty skip below: the already-swapped table's compact dir is
+        # pending under the OLD marker and committed by the same cid.
+        if not fold:
+            stats[name] = {"folded": 0, "kept_pending": len(pending)}
+            continue
+        df = spark.read.option("recursiveFileLookup", "true").parquet(
+            *[os.path.join(table, d) for d in fold]
+        )
+        rows_in = df.count()
+        if name == "duplicate_pairs":
+            df = df.dropDuplicates(["group_id", "uuid_a", "uuid_b"])
+        elif name == "postings":
+            df = df.join(cat_sigs, ["entity_uuid", "name_sig"], "left_semi")
+            df = df.dropDuplicates(["group_id", "kind", "key", "pos", "entity_uuid"])
+        os.makedirs(tmp)
+        compact_dir = os.path.join(tmp, f"batch_{cid}")
+        df.write.mode("overwrite").parquet(compact_dir)
+        rows_out = spark.read.parquet(compact_dir).count()
+        for d in pending:  # uncommitted (crashed) batches survive verbatim
+            shutil.copytree(
+                os.path.join(table, d), os.path.join(tmp, d), copy_function=os.link
+            )
+        os.rename(table, old)
+        os.rename(tmp, table)
+        shutil.rmtree(old, ignore_errors=True)
+        stats[name] = {
+            "folded": len(fold),
+            "kept_pending": len(pending),
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+        }
+    marker["batches"] = [cid]
+    marker["compactions"] = compact_n
+    with open(_p(state_dir, _STATE_MARKER), "w") as f:
+        json.dump(marker, f)
+    return stats
+
+
 def read_graph(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
     """The current graph tables (episodes backfilled like run_pipeline)."""
     from graphiti_spark.operators.episodes import backfill_entity_edges

@@ -144,3 +144,88 @@ def test_reingest_is_idempotent(graphs, spark):
     after_g = read_graph(spark, state)
     after = after_g["edges"].count(), after_g["nodes"].count(), after_g["mentions"].count()
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# compaction (plans/incremental.py compact_state)
+# ---------------------------------------------------------------------------
+
+
+def _batch_dirs(state, table):
+    import os
+
+    p = os.path.join(state, table)
+    return sorted(d for d in os.listdir(p) if d.startswith("batch_"))
+
+
+def test_compaction_folds_dirs_and_preserves_graph(graphs, spark):
+    """After two increments each append table holds 2 batch dirs; compaction
+    folds them into one batch_compact dir and read_graph is unchanged."""
+    import json
+    import os
+
+    from graphiti_spark.plans.incremental import _APPEND_TABLES, compact_state
+
+    full, _, _, _, state, _ = graphs
+    for t in _APPEND_TABLES:
+        assert len(_batch_dirs(state, t)) == 2, t
+    stats = compact_state(spark, state)
+    for t in _APPEND_TABLES:
+        assert _batch_dirs(state, t) == ["batch_compact_000001"], t
+        assert stats[t]["folded"] == 2
+        assert stats[t]["rows_out"] <= stats[t]["rows_in"]
+    with open(os.path.join(state, "_state.json")) as f:
+        assert json.load(f)["batches"] == ["compact_000001"]
+    after = read_graph(spark, state)
+    _assert_tables_equal(full["nodes"], after["nodes"], "nodes")
+    _assert_tables_equal(full["edges"], after["edges"], "edges")
+    _assert_tables_equal(full["mentions"], after["mentions"], "mentions")
+
+
+def test_increment_after_compaction_matches_full(spark, tmp_path):
+    """ingest A -> compact -> ingest B  ==  full run over A ∪ B. The next
+    increment sees exactly the state it would have seen uncompacted (the
+    contract that makes compaction a safe background maintenance slot)."""
+    from graphiti_spark.plans.incremental import compact_state
+
+    pages = _pages(spark).localCheckpoint()
+    batch_a = pages.filter(F.col("url").isin(list(_A_URLS)))
+    batch_b = pages.filter(~F.col("url").isin(list(_A_URLS)))
+    full = run_pipeline(spark, pages)
+    state = str(tmp_path / "state")
+    run_pipeline_incremental(spark, batch_a, state)
+    compact_state(spark, state)
+    s2 = run_pipeline_incremental(spark, batch_b, state)
+    assert s2["new_episodes"] > 0
+    inc = read_graph(spark, state)
+    _assert_tables_equal(full["nodes"], inc["nodes"], "nodes")
+    _assert_tables_equal(full["edges"], inc["edges"], "edges")
+    _assert_tables_equal(full["mentions"], inc["mentions"], "mentions")
+
+
+def test_compaction_preserves_pending_batch(spark, tmp_path):
+    """A batch dir NOT in the marker (crashed, uncommitted increment) must
+    survive compaction byte-for-byte so its replay stays idempotent."""
+    import os
+
+    from graphiti_spark.plans.incremental import compact_state
+
+    pages = _pages(spark)
+    batch_a = pages.filter(F.col("url").isin(list(_A_URLS)))
+    state = str(tmp_path / "state")
+    run_pipeline_incremental(spark, batch_a, state)
+    # simulate a crashed increment: a batch dir present on disk, absent
+    # from the marker
+    pend = os.path.join(state, "mentions_raw", "batch_deadbeef0000")
+    os.makedirs(pend)
+    with open(os.path.join(pend, "part-0.parquet"), "wb") as f:
+        f.write(b"\x00sentinel-bytes")
+    stats = compact_state(spark, state)
+    assert stats["mentions_raw"]["kept_pending"] == 1
+    assert stats["mentions_raw"]["folded"] == 1
+    with open(os.path.join(pend, "part-0.parquet"), "rb") as f:
+        assert f.read() == b"\x00sentinel-bytes"
+    assert _batch_dirs(state, "mentions_raw") == [
+        "batch_compact_000001",
+        "batch_deadbeef0000",
+    ]
