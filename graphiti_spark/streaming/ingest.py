@@ -108,6 +108,62 @@ def start_ingest(
     return writer.start()
 
 
+def start_live_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    state_dir: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    registry=None,
+    max_files_per_trigger: int = 64,
+    compact_every: int = 0,
+    trigger_available_now: bool = True,
+):
+    """Maintain a LIVE graph: each micro-batch runs the full incremental
+    pipeline (plans/incremental.py) against ``state_dir``, so the canonical
+    nodes/edges/mentions tables are current after every trigger — the
+    streaming twin of the reference worker's per-task add_episode loop
+    (worker.py:263-307) rather than the raw-append tier above.
+
+    Delivery: the file source is at-least-once; run_pipeline_incremental
+    makes replay a no-op (existing episode uuids are anti-joined out and a
+    re-submitted batch overwrites its own content-addressed batch dirs), so
+    the graph state converges effectively-once without a transactional sink.
+
+    ``compact_every``: if >0, fold the append-only state tables every N
+    micro-batches (compact_state) — the background `dedup every N episodes`
+    maintenance slot the reference's worker schedules (worker.py:232-233,
+    397-401). Safe mid-stream: compaction preserves read results and
+    uncommitted batch dirs exactly (tests/test_incremental.py).
+
+    Returns the StreamingQuery; per-batch stats land as JSON lines in
+    ``<state_dir>/_ingest_log.jsonl``.
+    """
+    import json
+    import os
+
+    from graphiti_spark.plans.incremental import compact_state, run_pipeline_incremental
+
+    pages = read_pages_stream(spark, pages_dir, max_files_per_trigger)
+    seen = {"batches": 0}
+
+    def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        stats = run_pipeline_incremental(spark, batch_df, state_dir, config, registry=registry)
+        stats["epoch_id"] = epoch_id
+        seen["batches"] += 1
+        if compact_every and seen["batches"] % compact_every == 0:
+            stats["compaction"] = compact_state(spark, state_dir)
+        with open(os.path.join(state_dir, "_ingest_log.jsonl"), "a") as f:
+            f.write(json.dumps(stats) + "\n")
+
+    writer = (
+        pages.writeStream.foreachBatch(_ingest_batch)
+        .option("checkpointLocation", f"{state_dir}/_checkpoint")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def episode_counts_by_window(
     episodes_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
