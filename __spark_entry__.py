@@ -70,6 +70,58 @@ scored AS (SELECT id_a, id_b,
 npairs AS (SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5)
 """
 
+# DuckDB twins of datapipe.quality.repetition_profile: lines/tokens/n-grams
+# with the same guards (empty lists on short docs, list_slice is inclusive
+# so [i, i+n-1] mirrors Spark's slice(toks, i, n)).
+_REP_CTES = rf"""base AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+                     {_TOKS} AS tk
+              FROM documents),
+            l AS (SELECT doc_id, n_chars, tk, len(lines) AS n_lines,
+                    round(CASE WHEN len(lines) > 0
+                          THEN 1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                          ELSE 0 END, 6) AS dup_line_frac,
+                    round(CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+                          THEN CAST(list_sum(list_transform(lines, x -> length(x)))
+                                    - list_sum(list_transform(list_distinct(lines), x -> length(x))) AS DOUBLE)
+                               / list_sum(list_transform(lines, x -> length(x)))
+                          ELSE 0 END, 6) AS dup_line_char_frac,
+                    CASE WHEN len(tk) >= 5
+                         THEN list_transform(generate_series(1, len(tk) - 4),
+                                             i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+                         ELSE CAST([] AS VARCHAR[]) END AS g5,
+                    CASE WHEN len(tk) >= 2
+                         THEN list_transform(generate_series(1, len(tk) - 1),
+                                             i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+                         ELSE CAST([] AS VARCHAR[]) END AS g2
+                  FROM base),
+            d5 AS (SELECT *, round(CASE WHEN len(g5) > 0
+                           THEN 1 - CAST(len(list_distinct(g5)) AS DOUBLE) / len(g5)
+                           ELSE 0 END, 6) AS dup_5gram_frac FROM l),
+            ex AS (SELECT doc_id, unnest(g2) AS gram FROM d5),
+            cnts AS (SELECT doc_id, gram, count(*) AS cnt FROM ex GROUP BY doc_id, gram),
+            top AS (SELECT doc_id, gram AS top_gram, cnt * length(gram) AS top_chars
+                    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+                          FROM cnts)
+                    WHERE rn = 1)"""
+
+
+def _pii_count_sql(kind: str) -> str:
+    from graphiti_spark.datapipe.pii import PII_PATTERNS
+
+    return f"len(regexp_extract_all(text, '{PII_PATTERNS[kind]}'))"
+
+
+def _pii_mask_sql() -> str:
+    from graphiti_spark.datapipe.pii import PII_PATTERNS, _MASK_ORDER, mask_token
+
+    expr = "text"
+    for kind in _MASK_ORDER:
+        expr = f"regexp_replace({expr}, '{PII_PATTERNS[kind]}', '{mask_token(kind)}', 'g')"
+    return expr
+
+
 # embedding sign-code over the first 8 dims (DuckDB twin of
 # datapipe.simsearch.sign_lsh_code)
 _SIG8 = "concat(" + ", ".join(
@@ -653,6 +705,94 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_repetition_profile(spark, sf_dir):
+    from graphiti_spark.datapipe.quality import repetition_profile
+
+    out = repetition_profile(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_5gram_frac",
+        "top_gram",
+        "top_2gram_char_frac",
+    )
+
+
+def _q_gopher_quality(spark, sf_dir):
+    from graphiti_spark.datapipe.quality import gopher_quality_flags
+
+    out = gopher_quality_flags(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "alpha_word_frac",
+        "dup_line_frac",
+        "top_2gram_char_frac",
+        "dup_5gram_frac",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_alpha_words",
+        "ok_dup_lines",
+        "ok_top_2gram",
+        "ok_dup_5gram",
+        "keep",
+    )
+
+
+def _pii_docs(spark, sf_dir):
+    """documents with deterministic synthetic PII appended — the corpus
+    itself is PII-free word streams, so the query plants one email / ipv4 /
+    phone / ssn per doc (same expression in the DuckDB twin) to exercise
+    detection and masking for real."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com srv 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.7 tel +1 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789"),
+        ).alias("text"),
+    )
+
+
+# DuckDB twin of the _pii_docs text expression
+_PII_TEXT_SQL = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+    "'@example.com srv 10.', CAST(doc_id % 200 AS VARCHAR), "
+    "'.0.7 tel +1 415-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), "
+    "' ssn 123-45-6789')"
+)
+
+
+def _q_pii_stats(spark, sf_dir):
+    from graphiti_spark.datapipe.pii import pii_stats
+
+    out = pii_stats(_pii_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        *[
+            F.col(f"n_{k}").cast("long").alias(f"n_{k}")
+            for k in ("email", "ssn", "credit_card", "ipv4", "phone")
+        ],
+        F.col("n_pii").cast("long").alias("n_pii"),
+    )
+
+
+def _q_pii_mask(spark, sf_dir):
+    from graphiti_spark.datapipe.pii import mask_pii
+
+    return mask_pii(_pii_docs(spark, sf_dir)).select("doc_id", "masked_text")
+
+
 def _q_kg_raw_mentions(spark, sf_dir):
     """Raw S3 mention occurrences (pre-ER, with positions) — the
     mentions_stage output itself, golden-pinned. Doubles as the independent
@@ -862,6 +1002,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_scores": _q_lang_scores,
         "quality_filter": _q_quality_filter,
         "token_budget": _q_token_budget,
+        "repetition_profile": _q_repetition_profile,
+        "gopher_quality": _q_gopher_quality,
+        "pii_stats": _q_pii_stats,
+        "pii_mask": _q_pii_mask,
         "normalize_names": _q_normalize_names,
         "normalize_names_enhanced": _q_normalize_names_enhanced,
         "relevance_feedback": _q_relevance_feedback,
@@ -1190,6 +1334,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
                    CAST(sum({n_bpe}) AS BIGINT) AS total_bpe_tokens
             FROM documents GROUP BY lang
+        """,
+        "repetition_profile": f"""
+            WITH {_REP_CTES}
+            SELECT d5.doc_id, d5.n_chars, d5.n_lines, d5.dup_line_frac,
+                   d5.dup_line_char_frac, d5.dup_5gram_frac, top.top_gram,
+                   round(CASE WHEN d5.n_chars > 0
+                         THEN CAST(coalesce(top.top_chars, 0) AS DOUBLE) / d5.n_chars
+                         ELSE 0 END, 6) AS top_2gram_char_frac
+            FROM d5 LEFT JOIN top USING (doc_id)
+        """,
+        "gopher_quality": f"""
+            WITH {_REP_CTES},
+            rep AS (SELECT d5.doc_id, d5.dup_line_frac, d5.dup_5gram_frac,
+                           round(CASE WHEN d5.n_chars > 0
+                                 THEN CAST(coalesce(top.top_chars, 0) AS DOUBLE) / d5.n_chars
+                                 ELSE 0 END, 6) AS top_2gram_char_frac
+                    FROM d5 LEFT JOIN top USING (doc_id)),
+            w AS (SELECT doc_id, len(tk) AS n_words,
+                    round(CASE WHEN len(tk) > 0
+                          THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+                          ELSE 0 END, 6) AS mean_word_len,
+                    round(CASE WHEN len(tk) > 0
+                          THEN CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(tk)
+                          ELSE 0 END, 6) AS alpha_word_frac
+                  FROM base)
+            SELECT w.doc_id, w.n_words, w.mean_word_len, w.alpha_word_frac,
+                   rep.dup_line_frac, rep.top_2gram_char_frac, rep.dup_5gram_frac,
+                   (w.n_words BETWEEN 50 AND 100000) AS ok_word_count,
+                   (w.mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+                   (w.alpha_word_frac >= 0.80) AS ok_alpha_words,
+                   (rep.dup_line_frac <= 0.30) AS ok_dup_lines,
+                   (rep.top_2gram_char_frac <= 0.20) AS ok_top_2gram,
+                   (rep.dup_5gram_frac <= 0.15) AS ok_dup_5gram,
+                   ((w.n_words BETWEEN 50 AND 100000)
+                    AND (w.mean_word_len BETWEEN 3.0 AND 10.0)
+                    AND (w.alpha_word_frac >= 0.80)
+                    AND (rep.dup_line_frac <= 0.30)
+                    AND (rep.top_2gram_char_frac <= 0.20)
+                    AND (rep.dup_5gram_frac <= 0.15)) AS keep
+            FROM w JOIN rep USING (doc_id)
+        """,
+        "pii_stats": f"""
+            WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
+            SELECT doc_id,
+                   {_pii_count_sql('email')} AS n_email,
+                   {_pii_count_sql('ssn')} AS n_ssn,
+                   {_pii_count_sql('credit_card')} AS n_credit_card,
+                   {_pii_count_sql('ipv4')} AS n_ipv4,
+                   {_pii_count_sql('phone')} AS n_phone,
+                   {" + ".join(_pii_count_sql(k) for k in ('email', 'ssn', 'credit_card', 'ipv4', 'phone'))} AS n_pii
+            FROM p
+        """,
+        "pii_mask": f"""
+            WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
+            SELECT doc_id, {_pii_mask_sql()} AS masked_text FROM p
         """,
         "bm25_search": f"""
             WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

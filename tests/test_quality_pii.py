@@ -1,0 +1,114 @@
+"""Hand-computed expectations for the Gopher repetition/quality gate and the
+PII masking ops (datapipe/quality.py, datapipe/pii.py).
+
+Every expected number below is derived by hand in the comments — these are
+semantic ground truth, not engine output pinned back on itself.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.datapipe.pii import mask_pii, pii_stats
+from graphiti_spark.datapipe.quality import gopher_quality_flags, repetition_profile
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_profile_hand_computed(spark):
+    rows = [
+        # lines [a, b, a, c] (empty dropped): 4 lines, 3 distinct ->
+        # dup_line_frac = 1/4; chars 1+1+1+1=4 vs distinct 3 -> (4-3)/4
+        (1, "a\nb\na\n\nc"),
+        # lines [hello world, x, hello world]: 3 lines 2 distinct -> 1/3;
+        # chars 11+1+11=23, distinct 12 -> 11/23 = 0.478261
+        (2, "hello world\nx\nhello world"),
+        # toks [a b a b a] -> bigrams [a b, b a, a b, b a]; counts tie 2-2,
+        # tie-break largest gram -> 'b a', chars 2*3=6 over n_chars 9
+        (3, "a b a b a"),
+        # 6 tokens -> two 5-grams, distinct -> dup_5gram_frac 0
+        (4, "q w e r t y"),
+        # 6 equal tokens -> 5-grams [t t t t t] x2, 1 distinct -> 0.5
+        (5, "t t t t t t"),
+        (6, ""),  # empty: all zeros
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in repetition_profile(_docs(spark, rows)).collect()
+    }
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == 0.25
+    assert got[1]["dup_line_char_frac"] == 0.25
+    assert got[2]["dup_line_frac"] == pytest.approx(0.333333)
+    assert got[2]["dup_line_char_frac"] == pytest.approx(0.478261)
+    assert got[3]["top_gram"] == "b a"
+    assert got[3]["top_2gram_char_frac"] == pytest.approx(0.666667)
+    assert got[4]["dup_5gram_frac"] == 0.0
+    assert got[5]["dup_5gram_frac"] == 0.5
+    assert got[6]["n_lines"] == 0
+    assert got[6]["dup_line_frac"] == 0.0
+    assert got[6]["top_2gram_char_frac"] == 0.0
+    assert got[6]["top_gram"] is None
+
+
+def test_gopher_flags_hand_computed(spark):
+    # 60 distinct-ish words of mean length >=3 and low repetition -> keep
+    good = " ".join(f"word{i:03d}" for i in range(60))  # 60 words, len 7
+    # 10 words -> fails ok_word_count only... but 'aaa aaa ...' repetition
+    # also trips the 2-gram cap; use distinct words
+    short = " ".join(f"tok{i}" for i in range(10))
+    # 60 words but all identical -> top-2gram covers nearly all chars
+    reps = " ".join(["dup"] * 60)
+    # numeric words -> alpha fraction 0
+    nums = " ".join(str(i) for i in range(100, 160))
+    rows = [(1, good), (2, short), (3, reps), (4, nums)]
+    got = {r["doc_id"]: r for r in gopher_quality_flags(_docs(spark, rows)).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["ok_word_count"] is False
+    assert got[3]["keep"] is False and got[3]["ok_top_2gram"] is False
+    assert got[3]["ok_dup_5gram"] is False
+    assert got[4]["keep"] is False and got[4]["ok_alpha_words"] is False
+    # mean word len: good doc words are 'wordNNN' = 7 chars
+    assert got[1]["mean_word_len"] == 7.0
+    assert got[1]["alpha_word_frac"] == 1.0
+
+
+PII_TEXT = (
+    "mail john.doe@x.co or ADMIN+x@sub.example.org, server 10.0.0.1, "
+    "call +1 415-555-0100 or (212) 555-0199, ssn 123-45-6789, "
+    "card 4111 1111 1111 1111."
+)
+
+MASKED = (
+    "mail <EMAIL> or <EMAIL>, server <IPV4>, "
+    "call <PHONE> or <PHONE>, ssn <SSN>, "
+    "card <CREDIT_CARD>."
+)
+
+
+def test_pii_stats_hand_computed(spark):
+    got = pii_stats(_docs(spark, [(1, PII_TEXT), (2, "no pii here")])).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    r = by_id[1]
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"], r["n_ssn"], r["n_credit_card"]) == (
+        2, 1, 2, 1, 1,
+    )
+    assert r["n_pii"] == 7
+    assert by_id[2]["n_pii"] == 0
+
+
+def test_mask_pii_exact_output(spark):
+    got = mask_pii(_docs(spark, [(1, PII_TEXT)])).collect()[0]["masked_text"]
+    assert got == MASKED
+
+
+def test_mask_order_phone_never_eats_ip_or_ssn(spark):
+    # if phone ran first, '415-555-0100' inside an email-free string with a
+    # nearby IP could partially consume digits; assert the specific shapes
+    # stay typed correctly
+    text = "ip 192.168.100.200 ssn 987-65-4321 tel +44 207-946-0958"
+    got = mask_pii(_docs(spark, [(1, text)])).collect()[0]["masked_text"]
+    assert got == "ip <IPV4> ssn <SSN> tel <PHONE>"
