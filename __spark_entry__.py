@@ -107,6 +107,11 @@ _REP_CTES = rf"""base AS (
                     WHERE rn = 1)"""
 
 
+# DuckDB twins of datapipe.webstats host/path regexes
+_HOST_RE_SQL = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RE_SQL = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
+
+
 def _pii_count_sql(kind: str) -> str:
     from graphiti_spark.datapipe.pii import PII_PATTERNS
 
@@ -793,6 +798,89 @@ def _q_pii_mask(spark, sf_dir):
     return mask_pii(_pii_docs(spark, sf_dir)).select("doc_id", "masked_text")
 
 
+def _url_docs(spark, sf_dir):
+    """documents with a deterministic url layout (https://www.<source>.<tld>/
+    doc/<doc_id>, tld cycling com/org/net by doc_id) — registered domains
+    vary per source so domain_stats aggregates over a real key space. Same
+    expression in the DuckDB twins."""
+    d = _t(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "org")
+        .otherwise("net")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit("."),
+            tld,
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+
+
+_URL_SQL = (
+    "concat('https://www.', source, '.', "
+    "CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END, "
+    "'/doc/', CAST(doc_id AS VARCHAR))"
+)
+
+
+def _q_url_features(spark, sf_dir):
+    from graphiti_spark.datapipe.webstats import url_features
+
+    out = url_features(_url_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "url",
+        "host",
+        "domain",
+        "tld",
+        "path",
+        F.col("path_depth").cast("long").alias("path_depth"),
+    )
+
+
+def _q_domain_stats(spark, sf_dir):
+    from graphiti_spark.datapipe.webstats import domain_stats
+
+    out = domain_stats(_url_docs(spark, sf_dir))
+    return out.select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "token_share",
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from graphiti_spark.datapipe.sampling import stratified_sample
+
+    out = stratified_sample(
+        _t(spark, sf_dir, "documents"), strata_col="lang", token_budget_per_stratum=2000
+    )
+    return out.select("doc_id", "lang", "rate")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    from graphiti_spark.datapipe.sampling import pack_sequences
+
+    out = pack_sequences(_t(spark, sf_dir, "documents"), seq_len=2048)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("start_seq").cast("long").alias("start_seq"),
+        F.col("end_seq").cast("long").alias("end_seq"),
+    )
+
+
 def _q_kg_raw_mentions(spark, sf_dir):
     """Raw S3 mention occurrences (pre-ER, with positions) — the
     mentions_stage output itself, golden-pinned. Doubles as the independent
@@ -1006,6 +1094,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "pii_stats": _q_pii_stats,
         "pii_mask": _q_pii_mask,
+        "url_features": _q_url_features,
+        "domain_stats": _q_domain_stats,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
         "normalize_names": _q_normalize_names,
         "normalize_names_enhanced": _q_normalize_names_enhanced,
         "relevance_feedback": _q_relevance_feedback,
@@ -1389,6 +1481,60 @@ def oracle_sql() -> dict[str, str]:
         "pii_mask": f"""
             WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
             SELECT doc_id, {_pii_mask_sql()} AS masked_text FROM p
+        """,
+        "url_features": f"""
+            WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+            f AS (SELECT doc_id, url,
+                    regexp_extract(url, '{_HOST_RE_SQL}', 1) AS host,
+                    regexp_extract(url, '{_PATH_RE_SQL}', 1) AS path
+                  FROM u),
+            g AS (SELECT *, string_split(host, '.') AS labels FROM f)
+            SELECT doc_id, url, host,
+                   CASE WHEN len(labels) >= 2
+                        THEN concat(labels[-2], '.', labels[-1]) ELSE host END AS domain,
+                   labels[-1] AS tld, path,
+                   len(list_filter(string_split(path, '/'), x -> x <> '')) AS path_depth
+            FROM g
+        """,
+        "domain_stats": f"""
+            WITH u AS (SELECT doc_id, text, {_URL_SQL} AS url FROM documents),
+            f AS (SELECT doc_id, text,
+                    string_split(regexp_extract(url, '{_HOST_RE_SQL}', 1), '.') AS labels,
+                    regexp_extract(url, '{_HOST_RE_SQL}', 1) AS host
+                  FROM u),
+            d AS (SELECT CASE WHEN len(labels) >= 2
+                         THEN concat(labels[-2], '.', labels[-1]) ELSE host END AS domain,
+                         length(text) AS nc, len({_TOKS}) AS nt
+                  FROM f),
+            agg AS (SELECT domain, count(*) AS n_docs, sum(nc) AS total_chars,
+                           sum(nt) AS total_tokens
+                    FROM d GROUP BY domain)
+            SELECT domain, n_docs, CAST(total_chars AS BIGINT) AS total_chars,
+                   CAST(total_tokens AS BIGINT) AS total_tokens,
+                   round(CAST(total_tokens AS DOUBLE)
+                         / (SELECT sum(total_tokens) FROM agg), 6) AS token_share
+            FROM agg
+        """,
+        "stratified_sample": f"""
+            WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS nt FROM documents),
+            r AS (SELECT lang, round(least(1.0, 2000.0 / sum(nt)), 6) AS rate
+                  FROM t GROUP BY lang)
+            SELECT t.doc_id, t.lang, r.rate
+            FROM t JOIN r USING (lang)
+            WHERE cast(concat('0x', substr(md5(concat('v1:', CAST(t.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  % 1000000 < CAST(r.rate * 1000000 AS BIGINT)
+        """,
+        "pack_sequences": f"""
+            WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+            o AS (SELECT doc_id, n_tokens,
+                    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS start_offset
+                  FROM t)
+            SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(start_offset // 2048 AS BIGINT) AS start_seq,
+                   CAST((start_offset + greatest(n_tokens, 1) - 1) // 2048 AS BIGINT) AS end_seq
+            FROM o
         """,
         "bm25_search": f"""
             WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

@@ -111,6 +111,14 @@ def main() -> None:
     )
     timed("simhash_pairs", lambda: simhash_pairs(docs, max_hamming=3).count())
     timed("text_profile", lambda: profile_documents(docs).count())
+    from graphiti_spark.datapipe.pii import mask_pii
+    from graphiti_spark.datapipe.quality import gopher_quality_flags
+
+    timed("gopher_quality", lambda: gopher_quality_flags(docs).count())
+    timed(
+        "pii_mask",
+        lambda: mask_pii(docs).select(F.sum(F.length("masked_text"))).collect()[0][0],
+    )
     timed("bm25_search", lambda: bm25_scores(docs, "doc_id", "text", ["spark", "join", "filter"]).count())
 
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]

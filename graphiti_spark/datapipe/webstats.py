@@ -1,0 +1,115 @@
+"""Webtext URL/domain analysis: URL feature extraction, per-domain corpus
+accounting, and domain blocklist filtering.
+
+The source-level view a webtext pipeline needs before mixing: which hosts
+dominate the token budget, which registered domains to drop (the public
+C4/RefinedWeb pipelines gate on curated domain blocklists), and URL shape
+features (path depth is a cheap quality prior — deep auto-generated paths
+correlate with boilerplate).
+
+All column expressions are regex/string built-ins (JVM codegen, zero
+Python) chosen inside the Java-regex / RE2 common subset so the DuckDB
+oracle twins execute identical expressions. Domain aggregation is one
+groupBy on a ~bounded key space (registered domains ≪ docs — map-side
+combine collapses it before the exchange); the blocklist filter broadcasts
+the blocklist (a small dim by construction).
+
+Reference parity: none (the reference has no corpus-curation tier); part of
+the large-scale-pipeline surface the graft adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
+
+
+def host_col(url) -> F.Column:
+    return F.regexp_extract(url, _HOST_RE, 1)
+
+
+def domain_col(url) -> F.Column:
+    """Registered domain = last two host labels (a public-suffix list would
+    slot in here; two labels is the deterministic stand-in)."""
+    labels = F.split(host_col(url), r"\.")
+    return F.when(
+        F.size(labels) >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host_col(url))
+
+
+def url_features(
+    docs: DataFrame, url_col: str = "url", keep_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Per-URL features: host, registered domain (last two labels), tld,
+    path, path_depth (non-empty segments)."""
+    u = F.col(url_col)
+    host = host_col(u)
+    labels = F.split(host, r"\.")
+    domain = domain_col(u)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    return docs.select(
+        *keep_cols,
+        u.alias("url"),
+        host.alias("host"),
+        domain.alias("domain"),
+        F.element_at(labels, -1).alias("tld"),
+        path.alias("path"),
+        F.size(F.filter(F.split(path, "/"), lambda s: s != "")).alias("path_depth"),
+    )
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per registered domain: doc count, char and token totals, corpus
+    share — the accounting behind mixing weights and blocklist review."""
+    from graphiti_spark.functions.textstats import token_count_col
+
+    feats = url_features(
+        docs.withColumn("_n_chars", F.length(text_col)).withColumn(
+            "_n_tokens", token_count_col(F.col(text_col))
+        ),
+        url_col=url_col,
+        keep_cols=("_n_chars", "_n_tokens"),
+    )
+    agg = feats.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_chars").alias("total_chars"),
+        F.sum("_n_tokens").alias("total_tokens"),
+    )
+    total = agg.agg(F.sum("total_tokens").alias("_corpus_tokens"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("_corpus_tokens"), 6).alias("token_share"),
+    )
+
+
+def filter_blocked_domains(
+    docs: DataFrame, blocked: DataFrame | list[str], url_col: str = "url"
+) -> DataFrame:
+    """Drop documents whose registered domain is on the blocklist.
+
+    ``blocked``: a one-column DataFrame of domains, or a plain list (built
+    into a broadcast dim). The filter is a broadcast LEFT ANTI join — at
+    100 TB the corpus never shuffles; only the kilobyte-scale blocklist
+    moves."""
+    spark = docs.sparkSession
+    if isinstance(blocked, list):
+        blocked = spark.createDataFrame([(d,) for d in blocked], "domain string")
+    else:
+        blocked = blocked.select(F.col(blocked.columns[0]).alias("domain"))
+    blocked = blocked.select(F.col("domain").alias("_blk_domain"))
+    return (
+        docs.withColumn("_blk_domain", domain_col(F.col(url_col)))
+        .join(F.broadcast(blocked), "_blk_domain", "left_anti")
+        .drop("_blk_domain")
+    )

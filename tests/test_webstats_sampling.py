@@ -1,0 +1,107 @@
+"""Hand-computed expectations for URL/domain analysis (datapipe/webstats.py)
+and deterministic sampling / sequence packing (datapipe/sampling.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.datapipe.sampling import pack_sequences, stratified_sample
+from graphiti_spark.datapipe.webstats import (
+    domain_stats,
+    filter_blocked_domains,
+    url_features,
+)
+
+
+def test_url_features_hand_computed(spark):
+    rows = [
+        (1, "https://news.sub.example.com/a/b/c?q=1#frag"),
+        (2, "http://example.org"),
+        (3, "https://localhost/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in url_features(df).collect()}
+    r = got[1]
+    assert r["host"] == "news.sub.example.com"
+    assert r["domain"] == "example.com"
+    assert r["tld"] == "com"
+    assert r["path"] == "/a/b/c"
+    assert r["path_depth"] == 3
+    assert got[2]["domain"] == "example.org" and got[2]["path_depth"] == 0
+    assert got[3]["domain"] == "localhost"  # single label falls back to host
+
+
+def test_domain_stats_and_blocklist(spark):
+    rows = [
+        (1, "https://a.example.com/1", "one two three"),  # 3 tokens
+        (2, "https://b.example.com/2", "four five"),  # 2 tokens
+        (3, "https://spam.biz/x", "junk junk junk junk junk"),  # 5 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    stats = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert stats["example.com"]["n_docs"] == 2
+    assert stats["example.com"]["total_tokens"] == 5
+    assert stats["example.com"]["token_share"] == 0.5
+    assert stats["spam.biz"]["token_share"] == 0.5
+    kept = filter_blocked_domains(df, ["spam.biz"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+    assert kept.columns == ["doc_id", "url", "text"]  # original schema back
+
+
+def _gate(salt: str, doc_id: int) -> int:
+    return int(hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+
+def test_stratified_sample_matches_reference_hash(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de", "w " * 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = stratified_sample(df, rates={"en": 0.5, "de": 0.1})
+    got = sorted(r["doc_id"] for r in out.collect())
+    expect = sorted(
+        i
+        for i in range(200)
+        if _gate("v1", i) < (500_000 if i % 2 == 0 else 100_000)
+    )
+    assert got == expect
+    # determinism: second run identical
+    assert sorted(r["doc_id"] for r in out.collect()) == expect
+    # different salt -> different (still deterministic) sample
+    other = sorted(
+        r["doc_id"] for r in stratified_sample(df, rates={"en": 0.5, "de": 0.1}, salt="v2").collect()
+    )
+    assert other != expect
+
+
+def test_stratified_sample_token_budget(spark):
+    # en: 100 docs x 10 tokens = 1000; budget 100 -> rate 0.1
+    # de: 100 docs x 10 tokens = 1000; same
+    rows = [(i, "en" if i % 2 == 0 else "de", "w " * 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = stratified_sample(df, token_budget_per_stratum=100)
+    rates = {r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()}
+    assert rates == {"en": 0.1, "de": 0.1} or set(rates.values()) == {0.1}
+    with pytest.raises(ValueError):
+        stratified_sample(df)
+
+
+def test_pack_sequences_hand_computed(spark):
+    # doc_id: tokens -> offsets (id order): 0:3 @0, 1:4 @3, 2:5 @7, 3:2 @12
+    rows = [(0, "a b c"), (1, "a b c d"), (2, "a b c d e"), (3, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pack_sequences(df, seq_len=5, bucket_size=2).collect()}
+    assert (got[0]["start_offset"], got[0]["start_seq"], got[0]["end_seq"]) == (0, 0, 0)
+    assert (got[1]["start_offset"], got[1]["start_seq"], got[1]["end_seq"]) == (3, 0, 1)
+    assert (got[2]["start_offset"], got[2]["start_seq"], got[2]["end_seq"]) == (7, 1, 2)
+    assert (got[3]["start_offset"], got[3]["start_seq"], got[3]["end_seq"]) == (12, 2, 2)
+
+
+def test_pack_sequences_bucketing_invariant(spark):
+    # layout must be identical whatever bucket_size is chosen
+    rows = [(i, "t " * (1 + i % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["start_offset"] for r in pack_sequences(df, bucket_size=4).collect()}
+    b = {r["doc_id"]: r["start_offset"] for r in pack_sequences(df, bucket_size=1000).collect()}
+    assert a == b
