@@ -881,6 +881,36 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_ngram_decontam(spark, sf_dir):
+    """Contamination report: eval set = every 97th document; n=3 because
+    the synthetic ~31-token vocabulary makes 13-grams (the production
+    default) collision-free — the op itself defaults to n=13."""
+    from graphiti_spark.datapipe.decontam import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    out = contamination_report(
+        d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0), n=3
+    )
+    return out.select("doc_id", F.col("n_collisions").cast("long").alias("n_collisions"))
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup over pseudo-paragraphs (aligned 16-token
+    chunks — the synthetic docs are single-line, so paragraphs are
+    synthesized with the same expression in the DuckDB twin)."""
+    from graphiti_spark.datapipe.decontam import paragraph_dedup
+    from graphiti_spark.functions.textstats import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size(toks) / F.lit(16.0)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 16 + 1, 16)),
+    )
+    paras_docs = d.select("doc_id", F.array_join(chunks, "\n\n").alias("text"))
+    return paragraph_dedup(paras_docs).select("doc_id", "deduped_text")
+
+
 def _q_kg_raw_mentions(spark, sf_dir):
     """Raw S3 mention occurrences (pre-ER, with positions) — the
     mentions_stage output itself, golden-pinned. Doubles as the independent
@@ -1098,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
+        "ngram_decontam": _q_ngram_decontam,
+        "paragraph_dedup": _q_paragraph_dedup,
         "normalize_names": _q_normalize_names,
         "normalize_names_enhanced": _q_normalize_names_enhanced,
         "relevance_feedback": _q_relevance_feedback,
@@ -1523,6 +1555,35 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN r USING (lang)
             WHERE cast(concat('0x', substr(md5(concat('v1:', CAST(t.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
                   % 1000000 < CAST(r.rate * 1000000 AS BIGINT)
+        """,
+        "ngram_decontam": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            g AS (SELECT doc_id,
+                    CASE WHEN len(tk) >= 3
+                         THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                                            i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+                         ELSE CAST([] AS VARCHAR[]) END AS gs
+                  FROM tok),
+            ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0),
+            cg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 0)
+            SELECT doc_id, count(*) AS n_collisions
+            FROM cg JOIN ev USING (gram) GROUP BY doc_id
+        """,
+        "paragraph_dedup": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            ch AS (SELECT doc_id,
+                     list_transform(generate_series(1, CAST(ceil(len(tk) / 16.0) AS BIGINT)),
+                                    i -> array_to_string(list_slice(tk, (i-1)*16 + 1, i*16), ' ')) AS chunks
+                   FROM tok),
+            p AS (SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS pos,
+                         unnest(chunks) AS para
+                  FROM ch),
+            kept AS (SELECT doc_id, pos, para FROM
+                       (SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+                        FROM p)
+                     WHERE rn = 1)
+            SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS deduped_text
+            FROM kept GROUP BY doc_id
         """,
         "pack_sequences": f"""
             WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),

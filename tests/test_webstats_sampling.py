@@ -105,3 +105,62 @@ def test_pack_sequences_bucketing_invariant(spark):
     a = {r["doc_id"]: r["start_offset"] for r in pack_sequences(df, bucket_size=4).collect()}
     b = {r["doc_id"]: r["start_offset"] for r in pack_sequences(df, bucket_size=1000).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# decontamination + paragraph dedup (datapipe/decontam.py)
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_report_hand_computed(spark):
+    from graphiti_spark.datapipe.decontam import contamination_report, ngram_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            # shares 3-grams "the quick fox" and "quick fox jumps" with eval
+            (1, "see the quick fox jumps here"),
+            # shares exactly one 3-gram "over lazy dogs"
+            (2, "running over lazy dogs daily"),
+            (3, "completely unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "the quick fox jumps"), (101, "walking over lazy dogs")],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["doc_id"]: r["n_collisions"]
+        for r in contamination_report(corpus, eval_set, n=3).collect()
+    }
+    assert rep == {1: 2, 2: 1}
+    kept1 = ngram_decontaminate(corpus, eval_set, n=3, min_collisions=1)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [3]
+    kept2 = ngram_decontaminate(corpus, eval_set, n=3, min_collisions=2)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 3]
+
+
+def test_paragraph_dedup_hand_computed(spark):
+    from graphiti_spark.datapipe.decontam import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p one\n\np two"),
+            (2, "p two\n\np three\n\np one"),
+            (3, "p two"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["deduped_text"] for r in paragraph_dedup(docs).collect()}
+    # p one -> first in doc 1 pos 0; p two -> doc 1 pos 1; p three -> doc 2
+    assert got == {1: "p one\n\np two", 2: "p three"}  # doc 3 emptied -> dropped
+
+
+def test_paragraph_dedup_hot_paragraph(spark):
+    from graphiti_spark.datapipe.decontam import paragraph_dedup
+
+    rows = [(i, "boilerplate footer\n\nunique %d" % i) for i in range(100)]
+    got = paragraph_dedup(spark.createDataFrame(rows, "doc_id long, text string"))
+    texts = {r["doc_id"]: r["deduped_text"] for r in got.collect()}
+    assert texts[0] == "boilerplate footer\n\nunique 0"
+    assert all(texts[i] == "unique %d" % i for i in range(1, 100))
