@@ -412,6 +412,26 @@ def _q_temporal_invalidation(spark, sf_dir):
     )
 
 
+def _q_graph_at_snapshot(spark, sf_dir):
+    """Bi-temporal point-in-time slice: which (user, event_type) fact was
+    TRUE on 2024-01-15 after contradiction invalidation over the events
+    timeline (operators/temporal.graph_at)."""
+    from graphiti_spark.operators.temporal import graph_at, invalidate_contradictions
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.lit("g").alias("group_id"),
+        F.col("user_id").cast("string").alias("source_node_uuid"),
+        F.col("event_type").alias("name"),
+        F.col("event_id").cast("string").alias("target_node_uuid"),
+        F.col("ts").alias("valid_at"),
+        F.lit(None).cast("timestamp").alias("invalid_at"),
+        "event_id",
+    )
+    out = graph_at(invalidate_contradictions(edges), "2024-01-15 00:00:00")
+    return out.select("event_id")
+
+
 def _q_merge_props_agg(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id", "event_type").agg(
@@ -1089,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join_events,
         "episode_context_window": _q_episode_context_window,
         "temporal_invalidation": _q_temporal_invalidation,
+        "graph_at_snapshot": _q_graph_at_snapshot,
         "merge_props_agg": _q_merge_props_agg,
         "anti_join_skip_existing": _q_anti_join_skip_existing,
         # --- search / rank fusion (SURVEY §2.4) ---
@@ -1244,6 +1265,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN nxt IS NOT NULL AND nxt > ts THEN epoch_us(nxt) END AS invalid_us,
                    CASE WHEN nxt IS NOT NULL AND nxt > ts THEN epoch_us(TIMESTAMP '2025-01-01 00:00:00') END AS expired_us
             FROM e
+        """,
+        "graph_at_snapshot": """
+            WITH e AS (
+              SELECT event_id, ts,
+                     lead(ts) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, CAST(event_id AS VARCHAR)) AS nxt
+              FROM events),
+            inv AS (SELECT event_id, ts,
+                           CASE WHEN nxt IS NOT NULL AND nxt > ts THEN nxt END AS invalid_at
+                    FROM e)
+            SELECT event_id FROM inv
+            WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+              AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-01-15 00:00:00')
         """,
         "merge_props_agg": """
             SELECT user_id, event_type,

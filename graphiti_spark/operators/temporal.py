@@ -43,3 +43,36 @@ def invalidate_contradictions(
         F.to_timestamp(F.lit(config.created_at_iso)),
     ).otherwise(F.lit(None).cast("timestamp"))
     return edges.withColumn("expired_at", expired).withColumn("invalid_at", new_invalid)
+
+
+def graph_at(
+    edges: DataFrame,
+    valid_time: str,
+    tx_time: str | None = None,
+) -> DataFrame:
+    """Bi-temporal point-in-time slice of the edge table.
+
+    Returns the edges that were TRUE at ``valid_time`` (valid-time axis:
+    valid_at <= t < invalid_at, open interval when invalid_at is null) and,
+    if ``tx_time`` is given, that the system BELIEVED at ``tx_time``
+    (transaction-time axis: created_at <= t' and not expired before t').
+    This is the batch restatement of the reference's bi-temporal EntityEdge
+    model (edges.py valid_at/invalid_at + created_at/expired_at) — the
+    query behind "what did the graph say about X as of last Tuesday".
+
+    Pure predicate over the table: pushes down to the parquet/Iceberg scan
+    (min/max pruning on valid_at-partitioned layouts), no shuffle.
+    """
+    t = F.to_timestamp(F.lit(valid_time))
+    out = edges.filter(
+        (F.col("valid_at") <= t)
+        & (F.col("invalid_at").isNull() | (F.col("invalid_at") > t))
+    )
+    if tx_time is not None:
+        tt = F.to_timestamp(F.lit(tx_time))
+        cols = set(edges.columns)
+        if "created_at" in cols:
+            out = out.filter(F.col("created_at") <= tt)
+        if "expired_at" in cols:
+            out = out.filter(F.col("expired_at").isNull() | (F.col("expired_at") > tt))
+    return out

@@ -85,3 +85,42 @@ def test_three_way_chain(spark):
     assert got["o1"][0] == _ts("2024-02-01T00:00:00").replace(tzinfo=None)
     assert got["o2"][0] == _ts("2024-03-01T00:00:00").replace(tzinfo=None)
     assert got["o3"] == (None, None)
+
+
+def test_graph_at_hand_computed(spark):
+    """Bi-temporal slice: per (user, pred) timeline a-t1 -> b-t3; at t2 only
+    the a edge is true; at t4 only b; tx axis hides rows created later."""
+    from graphiti_spark.operators.temporal import graph_at, invalidate_contradictions
+
+    rows = [
+        # group, src, pred, obj, valid_at, invalid_at, created_at
+        ("g", "u1", "OWNS", "a", "2024-01-01", None, "2024-01-02"),
+        ("g", "u1", "OWNS", "b", "2024-01-10", None, "2024-01-11"),
+        ("g", "u2", "OWNS", "c", "2024-02-01", None, "2024-02-02"),
+    ]
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        rows,
+        "group_id string, source_node_uuid string, name string, "
+        "target_node_uuid string, valid_at string, invalid_at string, created_at string",
+    ).select(
+        "group_id",
+        "source_node_uuid",
+        "name",
+        "target_node_uuid",
+        F.to_timestamp("valid_at").alias("valid_at"),
+        F.to_timestamp("invalid_at").alias("invalid_at"),
+        F.to_timestamp("created_at").alias("created_at"),
+    )
+    inv = invalidate_contradictions(edges)  # a closed at b's valid_at
+    at = lambda t, **kw: sorted(
+        r["target_node_uuid"] for r in graph_at(inv, t, **kw).collect()
+    )
+    assert at("2024-01-05") == ["a"]
+    assert at("2024-01-15") == ["b"]
+    assert at("2024-02-05") == ["b", "c"]
+    assert at("2023-12-01") == []
+    # tx axis: on 2024-01-01 the 'a' row wasn't recorded yet
+    assert at("2024-01-05", tx_time="2024-01-01") == []
+    assert at("2024-01-05", tx_time="2024-01-03") == ["a"]
