@@ -325,11 +325,62 @@ def run_pipeline_incremental(
     map_new = connected_components(pairs_cum, config).localCheckpoint()
     _mark("connected_components")
 
-    # ---- affected canonical clusters ---------------------------------------
+    stats = _rebuild_affected(
+        spark,
+        state_dir,
+        map_old=map_old,
+        map_new=map_new,
+        touched_ids=new_ids,
+        triples_extra=triples_new,
+        mentions_cum=mentions_cum,
+        registry=registry,
+        config=config,
+        mark=_mark,
+    )
+
+    # ---- episodes + map state ---------------------------------------------
+    upsert_table(spark, episodes_new, _p(state_dir, "episodes"), partition_by=["group_id"])
+    _atomic_overwrite(map_new, _p(state_dir, "uuid_map"))
+    with open(_p(state_dir, _STATE_MARKER)) as f:
+        marker = json.load(f)
+    if bid not in marker["batches"]:
+        marker["batches"].append(bid)
+    with open(_p(state_dir, _STATE_MARKER), "w") as f:
+        json.dump(marker, f)
+    _mark("episodes_map_state")
+
+    return {"batch_id": bid, "new_episodes": n_new, **stats, "timings": timings}
+
+
+def _rebuild_affected(
+    spark: SparkSession,
+    state_dir: str,
+    map_old: DataFrame,
+    map_new: DataFrame,
+    touched_ids: DataFrame,
+    triples_extra: DataFrame | None,
+    mentions_cum: DataFrame,
+    registry,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    mark=lambda phase: None,
+) -> dict:
+    """Rebuild the canonical nodes/edges/mentions tables for every cluster
+    affected by a uuid-map change — the shared core of incremental ingest
+    and episode removal.
+
+    ``touched_ids``: (group_id, entity_uuid) of entities whose mention set
+    changed this operation (new-batch entities on ingest; entities of the
+    removed episodes on removal — including ones that no longer exist, so
+    their emptied clusters get rebuilt-to-nothing and deleted).
+    ``triples_extra``: raw-form triples whose (group, canonical-src, name)
+    invalidation partitions must rebuild even if no endpoint moved (the
+    new batch's triples on ingest; the REMOVED triples on removal).
+    ``mentions_cum``: the current (post-change) raw mention set.
+    """
     # changed = entities whose canonical assignment differs between maps
     # (including rows appearing/disappearing: an absent row canonicalizes to
     # itself). affected canonicals = old + new canonicals of changed entities
-    # + canonicals of every entity seen in this batch.
+    # + canonicals of every touched entity.
     mo = map_old.select("uuid", F.col("canonical_uuid").alias("c_old"))
     mn = map_new.select("uuid", F.col("canonical_uuid").alias("c_new"))
     ch = (
@@ -340,9 +391,9 @@ def run_pipeline_incremental(
         .localCheckpoint()
     )
     changed_uuids = ch.select("uuid")
-    new_canon = new_ids.join(mn, new_ids["entity_uuid"] == mn["uuid"], "left").select(
-        F.coalesce("c_new", "entity_uuid").alias("canon")
-    )
+    new_canon = touched_ids.join(
+        mn, touched_ids["entity_uuid"] == mn["uuid"], "left"
+    ).select(F.coalesce("c_new", "entity_uuid").alias("canon"))
     affected_canon = (
         ch.select(F.col("c_old").alias("canon"))
         .unionByName(ch.select(F.col("c_new").alias("canon")))
@@ -352,6 +403,7 @@ def run_pipeline_incremental(
     )
 
     # ---- nodes: rebuild affected clusters, delete superseded canonicals ---
+    entities_all = _read(spark, state_dir, "entities")
     ents_c = entities_all.join(
         F.broadcast(map_new.select(F.col("uuid").alias("entity_uuid"), "canonical_uuid")),
         "entity_uuid",
@@ -375,7 +427,7 @@ def run_pipeline_incremental(
     upsert_table(
         spark, nodes_updated, _p(state_dir, "nodes"), partition_by=["group_id"], delete_keys=del_nodes
     )
-    _mark("nodes_rebuild_upsert")
+    mark("nodes_rebuild_upsert")
 
     # ---- edges: recompute affected invalidation partitions completely -----
     # A partition is (group_id, canonical source, predicate) — the window key
@@ -396,7 +448,6 @@ def run_pipeline_incremental(
 
     tc = with_canon(triples_cum)
     aff = F.broadcast(affected_canon)
-    part_new = with_canon(triples_new).select("group_id", F.col("_cs").alias("src"), "name")
     part_moved = tc.join(
         aff, (tc["_cs"] == aff["canon"]) | (tc["_ct"] == aff["canon"]), "left_semi"
     ).select("group_id", F.col("_cs").alias("src"), "name")
@@ -406,11 +457,18 @@ def run_pipeline_incremental(
         (edges_old["source_node_uuid"] == aff["canon"]) | (edges_old["target_node_uuid"] == aff["canon"]),
         "left_semi",
     ).select("group_id", F.col("source_node_uuid").alias("src"), "name")
-    parts = part_new.unionByName(part_moved).unionByName(part_old).distinct().localCheckpoint()
+    parts = part_moved.unionByName(part_old)
+    if triples_extra is not None:
+        parts = parts.unionByName(
+            with_canon(triples_extra).select("group_id", F.col("_cs").alias("src"), "name")
+        )
+    # fresh attribute ids: parts' first union branch derives from tc, so the
+    # joins below would otherwise be ambiguous self-joins
+    parts = parts.distinct().localCheckpoint().toDF("p_group_id", "p_src", "p_name")
 
     rebuild_triples = tc.join(
         F.broadcast(parts),
-        (tc["group_id"] == parts["group_id"]) & (tc["_cs"] == parts["src"]) & (tc["name"] == parts["name"]),
+        (tc["group_id"] == parts["p_group_id"]) & (tc["_cs"] == parts["p_src"]) & (tc["name"] == parts["p_name"]),
         "left_semi",
     ).drop("_cs", "_ct")
     edges_updated = invalidate_contradictions(
@@ -424,9 +482,9 @@ def run_pipeline_incremental(
     del_edges = (
         edges_old.join(
             F.broadcast(parts),
-            (edges_old["group_id"] == parts["group_id"])
-            & (edges_old["source_node_uuid"] == parts["src"])
-            & (edges_old["name"] == parts["name"]),
+            (edges_old["group_id"] == parts["p_group_id"])
+            & (edges_old["source_node_uuid"] == parts["p_src"])
+            & (edges_old["name"] == parts["p_name"]),
             "left_semi",
         )
         .select("uuid")
@@ -435,7 +493,7 @@ def run_pipeline_incremental(
     upsert_table(
         spark, edges_updated, _p(state_dir, "edges"), partition_by=["group_id"], delete_keys=del_edges
     )
-    _mark("edges_rebuild_upsert")
+    mark("edges_rebuild_upsert")
 
     # ---- mentions: rebuild rows of affected clusters + the new batch ------
     raw_c = mentions_cum.join(
@@ -465,28 +523,14 @@ def run_pipeline_incremental(
         partition_by=["group_id"],
         delete_keys=del_mentions,
     )
-    _mark("mentions_rebuild_upsert")
-
-    # ---- episodes + map state ---------------------------------------------
-    upsert_table(spark, episodes_new, _p(state_dir, "episodes"), partition_by=["group_id"])
-    _atomic_overwrite(map_new, _p(state_dir, "uuid_map"))
-    with open(_p(state_dir, _STATE_MARKER)) as f:
-        marker = json.load(f)
-    if bid not in marker["batches"]:
-        marker["batches"].append(bid)
-    with open(_p(state_dir, _STATE_MARKER), "w") as f:
-        json.dump(marker, f)
-    _mark("episodes_map_state")
+    mark("mentions_rebuild_upsert")
 
     return {
-        "batch_id": bid,
-        "new_episodes": n_new,
         "changed_entities": changed_uuids.count(),
         "affected_clusters": affected_canon.count(),
         "rebuilt_edge_partitions": parts.count(),
         "nodes_upserted": nodes_updated.count(),
         "edges_upserted": edges_updated.count(),
-        "timings": timings,
     }
 
 
@@ -532,17 +576,41 @@ def compact_state(spark: SparkSession, state_dir: str) -> dict:
     the background `dedup every N episodes` maintenance slot the
     reference's worker schedules (worker.py:232-233,397-401).
     """
-    with open(_p(state_dir, _STATE_MARKER)) as f:
-        marker = json.load(f)
-    committed = set(marker["batches"])
-    compact_n = marker.get("compactions", 0) + 1
-    cid = f"compact_{compact_n:06d}"
     entities_cur = _read(spark, state_dir, "entities")
     from graphiti_spark.operators.postings import name_sig_col
 
     cat_sigs = entities_cur.select(
         "entity_uuid", name_sig_col(F.col("name_norm")).alias("name_sig")
     )
+
+    def transform(name: str, df: DataFrame) -> DataFrame:
+        if name == "duplicate_pairs":
+            return df.dropDuplicates(["group_id", "uuid_a", "uuid_b"])
+        if name == "postings":
+            df = df.join(cat_sigs, ["entity_uuid", "name_sig"], "left_semi")
+            return df.dropDuplicates(["group_id", "kind", "key", "pos", "entity_uuid"])
+        return df
+
+    return _rewrite_append_tables(spark, state_dir, "compactions", "compact", transform)
+
+
+def _rewrite_append_tables(
+    spark: SparkSession,
+    state_dir: str,
+    counter_key: str,
+    cid_prefix: str,
+    transform,
+) -> dict:
+    """Fold every committed batch dir of each append table into ONE
+    ``batch_<cid_prefix>_<n>`` dir holding transform(name, union-of-dirs),
+    with the crash protocol documented on compact_state. Shared by
+    compact_state (dedupe/stale-reclaim transforms) and remove_episodes
+    (removal filters composed with the same transforms)."""
+    with open(_p(state_dir, _STATE_MARKER)) as f:
+        marker = json.load(f)
+    committed = set(marker["batches"])
+    seq_n = marker.get(counter_key, 0) + 1
+    cid = f"{cid_prefix}_{seq_n:06d}"
     stats: dict[str, dict] = {}
     for name in _APPEND_TABLES:
         table = _p(state_dir, name)
@@ -571,11 +639,7 @@ def compact_state(spark: SparkSession, state_dir: str) -> dict:
             *[os.path.join(table, d) for d in fold]
         )
         rows_in = df.count()
-        if name == "duplicate_pairs":
-            df = df.dropDuplicates(["group_id", "uuid_a", "uuid_b"])
-        elif name == "postings":
-            df = df.join(cat_sigs, ["entity_uuid", "name_sig"], "left_semi")
-            df = df.dropDuplicates(["group_id", "kind", "key", "pos", "entity_uuid"])
+        df = transform(name, df)
         os.makedirs(tmp)
         compact_dir = os.path.join(tmp, f"batch_{cid}")
         df.write.mode("overwrite").parquet(compact_dir)
@@ -594,10 +658,131 @@ def compact_state(spark: SparkSession, state_dir: str) -> dict:
             "rows_out": rows_out,
         }
     marker["batches"] = [cid]
-    marker["compactions"] = compact_n
+    marker[counter_key] = seq_n
     with open(_p(state_dir, _STATE_MARKER), "w") as f:
         json.dump(marker, f)
     return stats
+
+
+def remove_episodes(
+    spark: SparkSession,
+    state_dir: str,
+    episode_uuids: list[str],
+    config: PipelineConfig = DEFAULT_CONFIG,
+    registry=None,
+) -> dict:
+    """Delete episodes and everything only they support — the batch-exact
+    restatement of the reference's ``remove_episode``
+    (graphiti.py:1087-1120: delete the episode, edges it created, and nodes
+    mentioned nowhere else). The reference approximates this with driver-
+    side heuristics (episodes[0] == uuid, mention count == 1); here the
+    affected neighborhood is RECOMPUTED from the surviving raw state, so
+    the contract is exact:
+
+        ingest(A); ingest(B); remove_episodes(B.uuids)  ==  ingest(A)
+
+    table-for-table (tests/test_incremental.py::test_remove_episodes_*) —
+    including un-merging an entity cluster whose duplicate evidence came
+    only from the removed episodes (duplicate pairs with a dead endpoint
+    are dropped, connected components re-runs over the survivors).
+
+    Mechanics: filter the removed episodes' rows out of mentions_raw /
+    triples_raw (staged-swap rewrite, same crash protocol as
+    compact_state), delete entities left with zero mentions (and their
+    pairs/postings), re-run CC over the surviving pair list, then rebuild
+    exactly the affected canonical clusters and invalidation partitions
+    through the shared _rebuild_affected core. Cost ∝ removed episodes +
+    affected neighborhood + one pass over the raw state (the equality-
+    delete rewrite — an Iceberg DELETE in the catalog deployment). Run on
+    quiescent state (like compact_state): a concurrent in-flight batch
+    containing a removed episode would re-add it on replay.
+    """
+    eps_tbl = _read(spark, state_dir, "episodes")
+    rm = spark.createDataFrame([(u,) for u in episode_uuids], "uuid string")
+    present = eps_tbl.join(F.broadcast(rm), "uuid", "left_semi").select("uuid").localCheckpoint()
+    n_rm = present.count()
+    if n_rm == 0:
+        return {"removed_episodes": 0, "skipped": True}
+    rm_ep = F.broadcast(present.withColumnRenamed("uuid", "episode_uuid"))
+
+    mentions_all = _read(spark, state_dir, "mentions_raw")
+    touched = (
+        mentions_all.join(rm_ep, "episode_uuid", "left_semi")
+        .select("group_id", "entity_uuid")
+        .distinct()
+        .localCheckpoint()
+    )
+    removed_triples = (
+        _read(spark, state_dir, "triples_raw")
+        .join(rm_ep, "episode_uuid", "left_semi")
+        .localCheckpoint()
+    )
+    # dead = touched entities with NO surviving mention anywhere
+    alive_touched = (
+        mentions_all.join(rm_ep, "episode_uuid", "left_anti")
+        .join(F.broadcast(touched), ["group_id", "entity_uuid"], "left_semi")
+        .select("entity_uuid")
+        .distinct()
+    )
+    dead = (
+        touched.select("entity_uuid")
+        .join(alive_touched, "entity_uuid", "left_anti")
+        .localCheckpoint()
+    )
+    dead_b = F.broadcast(dead)
+
+    def transform(name: str, df: DataFrame) -> DataFrame:
+        if name in ("mentions_raw", "triples_raw"):
+            return df.join(rm_ep, "episode_uuid", "left_anti")
+        if name == "duplicate_pairs":
+            df = df.join(dead_b.withColumnRenamed("entity_uuid", "uuid_a"), "uuid_a", "left_anti")
+            df = df.join(dead_b.withColumnRenamed("entity_uuid", "uuid_b"), "uuid_b", "left_anti")
+            return df.dropDuplicates(["group_id", "uuid_a", "uuid_b"])
+        if name == "postings":
+            return df.join(dead_b, "entity_uuid", "left_anti")
+        return df
+
+    raw_stats = _rewrite_append_tables(spark, state_dir, "removals", "rm", transform)
+
+    mentions_cum = _read(spark, state_dir, "mentions_raw")
+    entities_touched = entity_catalog(
+        mentions_cum.join(F.broadcast(touched), ["group_id", "entity_uuid"], "left_semi")
+    ).localCheckpoint()
+    upsert_table(
+        spark, entities_touched, _p(state_dir, "entities"), key="entity_uuid", delete_keys=dead
+    )
+
+    pairs_cum = (
+        _read(spark, state_dir, "duplicate_pairs")
+        .dropDuplicates(["group_id", "uuid_a", "uuid_b"])
+        .localCheckpoint()
+    )
+    map_old = _read(spark, state_dir, "uuid_map")
+    map_new = connected_components(pairs_cum, config).localCheckpoint()
+
+    stats = _rebuild_affected(
+        spark,
+        state_dir,
+        map_old=map_old,
+        map_new=map_new,
+        touched_ids=touched,
+        triples_extra=removed_triples,
+        mentions_cum=mentions_cum,
+        registry=registry,
+        config=config,
+    )
+
+    empty_eps = spark.createDataFrame([], eps_tbl.schema)
+    upsert_table(
+        spark, empty_eps, _p(state_dir, "episodes"), partition_by=["group_id"], delete_keys=present
+    )
+    _atomic_overwrite(map_new, _p(state_dir, "uuid_map"))
+    return {
+        "removed_episodes": n_rm,
+        "dead_entities": dead.count(),
+        "raw_rewrite": raw_stats,
+        **stats,
+    }
 
 
 def read_graph(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:

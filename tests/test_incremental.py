@@ -229,3 +229,61 @@ def test_compaction_preserves_pending_batch(spark, tmp_path):
         "batch_compact_000001",
         "batch_deadbeef0000",
     ]
+
+
+# ---------------------------------------------------------------------------
+# episode removal (plans/incremental.py remove_episodes)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_episodes_reverts_ingest(spark, tmp_path):
+    """ingest(A); ingest(B); remove(B) == ingest(A) table-for-table —
+    including UN-merging the Graphiti<-Graphitti cluster whose duplicate
+    evidence came only from batch B (the reference's remove_episode
+    orphan-cleanup, graphiti.py:1087-1120, made exact by recomputation)."""
+    from graphiti_spark.operators.episodes import episodes_stage
+    from graphiti_spark.operators.extract_text import extract_text_stage
+    from graphiti_spark.plans.incremental import remove_episodes
+
+    pages = _pages(spark).localCheckpoint()
+    batch_a = pages.filter(F.col("url").isin(list(_A_URLS)))
+    batch_b = pages.filter(~F.col("url").isin(list(_A_URLS)))
+
+    ref_state = str(tmp_path / "ref")
+    run_pipeline_incremental(spark, batch_a, ref_state)
+    ref = read_graph(spark, ref_state)
+
+    state = str(tmp_path / "rm")
+    run_pipeline_incremental(spark, batch_a, state)
+    run_pipeline_incremental(spark, batch_b, state)
+    b_uuids = [
+        r["uuid"]
+        for r in episodes_stage(extract_text_stage(batch_b)).select("uuid").collect()
+    ]
+    stats = remove_episodes(spark, state, b_uuids)
+    assert stats["removed_episodes"] == len(b_uuids)
+    assert stats["dead_entities"] >= 1
+
+    got = read_graph(spark, state)
+    _assert_tables_equal(ref["nodes"], got["nodes"], "nodes")
+    _assert_tables_equal(ref["edges"], got["edges"], "edges")
+    _assert_tables_equal(ref["mentions"], got["mentions"], "mentions")
+    _assert_tables_equal(
+        ref["episodes"].drop("entity_edges"), got["episodes"].drop("entity_edges"), "episodes"
+    )
+    # and the graph remains ingestable: re-adding B reproduces the full graph
+    run_pipeline_incremental(spark, batch_b, state)
+    full = run_pipeline(spark, pages)
+    again = read_graph(spark, state)
+    _assert_tables_equal(full["nodes"], again["nodes"], "nodes-again")
+    _assert_tables_equal(full["edges"], again["edges"], "edges-again")
+
+
+def test_remove_episodes_unknown_uuid_noop(graphs, spark):
+    from graphiti_spark.plans.incremental import remove_episodes
+
+    _, _, _, _, state, _ = graphs
+    assert remove_episodes(spark, state, ["no-such-uuid"]) == {
+        "removed_episodes": 0,
+        "skipped": True,
+    }
