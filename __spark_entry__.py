@@ -931,6 +931,18 @@ def _q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(paras_docs).select("doc_id", "deduped_text")
 
 
+def _q_chunk_documents(spark, sf_dir):
+    from graphiti_spark.datapipe.textanalysis import chunk_documents
+
+    out = chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def _q_kg_raw_mentions(spark, sf_dir):
     """Raw S3 mention occurrences (pre-ER, with positions) — the
     mentions_stage output itself, golden-pinned. Doubles as the independent
@@ -1150,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "ngram_decontam": _q_ngram_decontam,
+        "chunk_documents": _q_chunk_documents,
         "paragraph_dedup": _q_paragraph_dedup,
         "normalize_names": _q_normalize_names,
         "normalize_names_enhanced": _q_normalize_names_enhanced,
@@ -1589,6 +1602,19 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN r USING (lang)
             WHERE cast(concat('0x', substr(md5(concat('v1:', CAST(t.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
                   % 1000000 < CAST(r.rate * 1000000 AS BIGINT)
+        """,
+        "chunk_documents": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            ch AS (SELECT doc_id,
+                     CASE WHEN len(tk) > 0
+                          THEN list_transform(generate_series(1, greatest(len(tk), 1), 48),
+                                              s -> array_to_string(list_slice(tk, s, s + 63), ' '))
+                          ELSE CAST([] AS VARCHAR[]) END AS chunks
+                   FROM tok)
+            SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS chunk_id,
+                   unnest(chunks) AS chunk_text,
+                   len(string_split(unnest(chunks), ' ')) AS n_tokens
+            FROM ch
         """,
         "ngram_decontam": f"""
             WITH tok AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

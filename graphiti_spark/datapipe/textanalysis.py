@@ -21,6 +21,7 @@ from graphiti_spark.functions.textstats import (
     lang_score_cols,
     quality_score_col,
     token_count_col,
+    tokens_col,
 )
 
 
@@ -62,6 +63,36 @@ def quality_filter(
         .withColumn("n_tokens", token_count_col(c))
         .filter((F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens))
         .select(F.col(id_col), "quality", "n_tokens")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window chunking: (id, chunk_id, chunk_text, n_tokens) with
+    ``chunk_tokens``-token windows advancing by ``chunk_tokens - overlap``
+    — the retrieval/episode-splitting prep step. Map-only (HOF build +
+    posexplode), no shuffle; empty documents yield no rows; a document
+    shorter than one window yields exactly one chunk.
+
+    Deterministic window starts: 1, 1+stride, ... while start <= n_tokens
+    (so the final, possibly short tail window is kept)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens))),
+    ).otherwise(F.array().cast("array<string>"))
+    out = docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+    return out.withColumn(
+        "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
     )
 
 

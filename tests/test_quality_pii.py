@@ -112,3 +112,29 @@ def test_mask_order_phone_never_eats_ip_or_ssn(spark):
     text = "ip 192.168.100.200 ssn 987-65-4321 tel +44 207-946-0958"
     got = mask_pii(_docs(spark, [(1, text)])).collect()[0]["masked_text"]
     assert got == "ip <IPV4> ssn <SSN> tel <PHONE>"
+
+
+def test_chunk_documents_hand_computed(spark):
+    from graphiti_spark.datapipe.textanalysis import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g h i j"),  # 10 toks; chunk 4, overlap 1 -> starts 1,4,7,10
+        (2, "x y"),  # shorter than a window -> one chunk
+        (3, ""),  # empty -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    )
+    assert got == [
+        (1, 0, "a b c d", 4),
+        (1, 1, "d e f g", 4),
+        (1, 2, "g h i j", 4),
+        (1, 3, "j", 1),
+        (2, 0, "x y", 2),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
