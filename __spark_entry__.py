@@ -74,7 +74,7 @@ npairs AS (SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5)
 # with the same guards (empty lists on short docs, list_slice is inclusive
 # so [i, i+n-1] mirrors Spark's slice(toks, i, n)).
 _REP_CTES = rf"""base AS (
-              SELECT doc_id, length(text) AS n_chars,
+              SELECT doc_id, text, length(text) AS n_chars,
                      list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
                      {_TOKS} AS tk
               FROM documents),
@@ -749,18 +749,29 @@ def _q_repetition_profile(spark, sf_dir):
 def _q_gopher_quality(spark, sf_dir):
     from graphiti_spark.datapipe.quality import gopher_quality_flags
 
-    out = gopher_quality_flags(_t(spark, sf_dir, "documents"))
+    # the synthetic vocabulary contains only one of the 8 required
+    # stopwords ('the'), so the required-words gate runs at >=1 here;
+    # the library default is Gopher's >=2.
+    out = gopher_quality_flags(_t(spark, sf_dir, "documents"), min_stopword_hits=1)
     return out.select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
         "mean_word_len",
         "alpha_word_frac",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
         "dup_line_frac",
         "top_2gram_char_frac",
         "dup_5gram_frac",
         "ok_word_count",
         "ok_mean_word_len",
         "ok_alpha_words",
+        "ok_symbol_ratio",
+        "ok_bullet_lines",
+        "ok_ellipsis_lines",
+        "ok_stopwords",
         "ok_dup_lines",
         "ok_top_2gram",
         "ok_dup_5gram",
@@ -1528,19 +1539,41 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0 END, 6) AS mean_word_len,
                     round(CASE WHEN len(tk) > 0
                           THEN CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(tk)
-                          ELSE 0 END, 6) AS alpha_word_frac
+                          ELSE 0 END, 6) AS alpha_word_frac,
+                    round(CASE WHEN len(tk) > 0
+                          THEN CAST((length(text) - length(replace(text, '#', '')))
+                                    + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / len(tk)
+                          ELSE 0 END, 6) AS symbol_word_ratio,
+                    round(CASE WHEN len(lines) > 0
+                          THEN CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE) / len(lines)
+                          ELSE 0 END, 6) AS bullet_line_frac,
+                    round(CASE WHEN len(lines) > 0
+                          THEN CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(lines)
+                          ELSE 0 END, 6) AS ellipsis_line_frac,
+                    len(list_filter(list_distinct(tk),
+                        t -> t IN ('the','be','to','of','and','that','have','with'))) AS stopword_hits
                   FROM base)
             SELECT w.doc_id, w.n_words, w.mean_word_len, w.alpha_word_frac,
+                   w.symbol_word_ratio, w.bullet_line_frac, w.ellipsis_line_frac,
+                   w.stopword_hits,
                    rep.dup_line_frac, rep.top_2gram_char_frac, rep.dup_5gram_frac,
                    (w.n_words BETWEEN 50 AND 100000) AS ok_word_count,
                    (w.mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
                    (w.alpha_word_frac >= 0.80) AS ok_alpha_words,
+                   (w.symbol_word_ratio <= 0.10) AS ok_symbol_ratio,
+                   (w.bullet_line_frac <= 0.90) AS ok_bullet_lines,
+                   (w.ellipsis_line_frac <= 0.30) AS ok_ellipsis_lines,
+                   (w.stopword_hits >= 1) AS ok_stopwords,
                    (rep.dup_line_frac <= 0.30) AS ok_dup_lines,
                    (rep.top_2gram_char_frac <= 0.20) AS ok_top_2gram,
                    (rep.dup_5gram_frac <= 0.15) AS ok_dup_5gram,
                    ((w.n_words BETWEEN 50 AND 100000)
                     AND (w.mean_word_len BETWEEN 3.0 AND 10.0)
                     AND (w.alpha_word_frac >= 0.80)
+                    AND (w.symbol_word_ratio <= 0.10)
+                    AND (w.bullet_line_frac <= 0.90)
+                    AND (w.ellipsis_line_frac <= 0.30)
+                    AND (w.stopword_hits >= 1)
                     AND (rep.dup_line_frac <= 0.30)
                     AND (rep.top_2gram_char_frac <= 0.20)
                     AND (rep.dup_5gram_frac <= 0.15)) AS keep

@@ -146,6 +146,10 @@ def repetition_profile(
     return out
 
 
+# Gopher's "required word" list: a document must contain >= 2 of these.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
 def gopher_quality_flags(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -158,16 +162,36 @@ def gopher_quality_flags(
     max_dup_line_frac: float = 0.30,
     max_top_2gram_char_frac: float = 0.20,
     max_dup_5gram_frac: float = 0.15,
+    max_symbol_word_ratio: float = 0.10,
+    max_bullet_line_frac: float = 0.90,
+    max_ellipsis_line_frac: float = 0.30,
+    min_stopword_hits: int = 2,
 ) -> DataFrame:
     """Composite Gopher keep/drop gate: per-rule booleans + the AND.
 
-    The thresholds are the published Gopher defaults where one exists
-    (word-count window, mean word length 3-10, >=80% words with an
-    alphabetic character, repetition caps); each rule is its own column so
-    a pipeline can audit WHY a document dropped — the filter itself is a
-    pushdown-able predicate over this profile.
+    The thresholds are the published Gopher defaults (word-count window,
+    mean word length 3-10, >=80% words with an alphabetic character,
+    symbol-to-word ratio <=0.1 for '#'/'...', <=90% bullet-started and
+    <=30% ellipsis-ended lines, >=2 of the 8 required stopwords,
+    repetition caps); each rule is its own column so a pipeline can audit
+    WHY a document dropped — the filter itself is a pushdown-able
+    predicate over this profile.
     """
     toks = tokens_col(F.col(text_col))
+    c = F.col(text_col)
+    lines = _lines_col(c)
+    n_symbols = (
+        (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit(""))))
+        + F.regexp_count(c, F.lit(r"\.\.\.|…"))
+    )
+    bullet_lines = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    ellipsis_lines = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+    stop_hits = F.size(
+        F.filter(
+            F.array_distinct(toks),
+            lambda t: t.isin(*GOPHER_STOPWORDS),
+        )
+    )
     words = docs.select(
         F.col(id_col),
         F.size(toks).alias("n_words"),
@@ -184,6 +208,25 @@ def gopher_quality_flags(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("alpha_word_frac"),
+        F.round(
+            F.when(F.size(toks) > 0, n_symbols / F.size(toks).cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("symbol_word_ratio"),
+        F.round(
+            F.when(F.size(lines) > 0, bullet_lines / F.size(lines).cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("bullet_line_frac"),
+        F.round(
+            F.when(F.size(lines) > 0, ellipsis_lines / F.size(lines).cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("ellipsis_line_frac"),
+        stop_hits.alias("stopword_hits"),
     )
     rep = repetition_profile(docs, id_col=id_col, text_col=text_col)
     prof = words.join(
@@ -195,6 +238,10 @@ def gopher_quality_flags(
         "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
         & (F.col("mean_word_len") <= max_mean_word_len),
         "ok_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "ok_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "ok_bullet_lines": F.col("bullet_line_frac") <= max_bullet_line_frac,
+        "ok_ellipsis_lines": F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
+        "ok_stopwords": F.col("stopword_hits") >= min_stopword_hits,
         "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
         "ok_top_2gram": F.col("top_2gram_char_frac") <= max_top_2gram_char_frac,
         "ok_dup_5gram": F.col("dup_5gram_frac") <= max_dup_5gram_frac,

@@ -55,8 +55,9 @@ def test_repetition_profile_hand_computed(spark):
 
 
 def test_gopher_flags_hand_computed(spark):
-    # 60 distinct-ish words of mean length >=3 and low repetition -> keep
-    good = " ".join(f"word{i:03d}" for i in range(60))  # 60 words, len 7
+    # 60 distinct-ish words of mean length >=3, low repetition, and the
+    # required stopwords ('the', 'of') -> keep
+    good = "the of " + " ".join(f"word{i:03d}" for i in range(58))
     # 10 words -> fails ok_word_count only... but 'aaa aaa ...' repetition
     # also trips the 2-gram cap; use distinct words
     short = " ".join(f"tok{i}" for i in range(10))
@@ -64,16 +65,34 @@ def test_gopher_flags_hand_computed(spark):
     reps = " ".join(["dup"] * 60)
     # numeric words -> alpha fraction 0
     nums = " ".join(str(i) for i in range(100, 160))
-    rows = [(1, good), (2, short), (3, reps), (4, nums)]
+    # stopword-free but otherwise fine doc -> ok_stopwords False
+    nostop = "in " + " ".join(f"word{i:03d}" for i in range(59))
+    # every 10th "word" is '###' -> symbol ratio 6/60 = 0.1 passes; 7 fails
+    sym = "the of " + " ".join(
+        "###" if i % 8 == 0 else f"w{i:05d}" for i in range(58)
+    )
+    rows = [(1, good), (2, short), (3, reps), (4, nums), (5, nostop), (6, sym)]
     got = {r["doc_id"]: r for r in gopher_quality_flags(_docs(spark, rows)).collect()}
     assert got[1]["keep"] is True
+    assert got[1]["stopword_hits"] == 2
     assert got[2]["keep"] is False and got[2]["ok_word_count"] is False
     assert got[3]["keep"] is False and got[3]["ok_top_2gram"] is False
     assert got[3]["ok_dup_5gram"] is False
     assert got[4]["keep"] is False and got[4]["ok_alpha_words"] is False
-    # mean word len: good doc words are 'wordNNN' = 7 chars
-    assert got[1]["mean_word_len"] == 7.0
+    assert got[5]["keep"] is False and got[5]["ok_stopwords"] is False
+    # sym doc: 8 '###' words = 24 '#' chars over 60 words = 0.4 > 0.1
+    assert got[6]["ok_symbol_ratio"] is False and got[6]["symbol_word_ratio"] == 0.4
+    # mean word len: good doc words are mostly 'wordNNN' = 7 chars
     assert got[1]["alpha_word_frac"] == 1.0
+
+
+def test_gopher_line_shape_rules(spark):
+    bullets = "\n".join(["- item %d" % i for i in range(9)] + ["prose line"])
+    dots = "\n".join(["tail one...", "tail two…", "plain", "plain2"])
+    rows = [(1, bullets), (2, dots)]
+    got = {r["doc_id"]: r for r in gopher_quality_flags(_docs(spark, rows)).collect()}
+    assert got[1]["bullet_line_frac"] == 0.9 and got[1]["ok_bullet_lines"] is True
+    assert got[2]["ellipsis_line_frac"] == 0.5 and got[2]["ok_ellipsis_lines"] is False
 
 
 PII_TEXT = (
