@@ -101,3 +101,61 @@ def test_input_width_guard_widens_narrow_scans(spark):
     # already-wide inputs (warehouse scans) pass through untouched: no shuffle
     wide = spark.range(1000).select(F.concat(F.lit("u"), "id").alias("url")).repartition(4 * par)
     assert ensure_scan_width(spark, wide) is wide
+
+
+# ---------------------------------------------------------------------------
+# plan shapes of the corpus-curation ops (scale claims pinned)
+# ---------------------------------------------------------------------------
+
+
+def _curation_docs(spark):
+    return spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string"), F.lit(" x y z the of")).alias("text"),
+        F.concat(F.lit("https://www.s"), (F.col("id") % 5).cast("string"), F.lit(".com/doc/"), F.col("id").cast("string")).alias("url"),
+    )
+
+
+def test_plan_pii_and_urlfeatures_are_map_only(spark):
+    from graphiti_spark.datapipe.pii import mask_pii, pii_stats
+    from graphiti_spark.datapipe.webstats import url_features
+
+    docs = _curation_docs(spark)
+    for df in (mask_pii(docs), pii_stats(docs), url_features(docs)):
+        assert "Exchange" not in _plan(df)  # fuses into the scan at 100 TB
+
+
+def test_plan_blocklist_filter_is_broadcast_anti(spark):
+    from graphiti_spark.datapipe.webstats import filter_blocked_domains
+
+    plan = _plan(filter_blocked_domains(_curation_docs(spark), ["spam.biz"]))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the corpus side must not shuffle on the domain key
+    assert "hashpartitioning(_blk_domain" not in plan
+
+
+def test_plan_pack_sequences_no_corpus_wide_single_partition(spark):
+    from graphiti_spark.datapipe.sampling import pack_sequences
+
+    plan = _plan(pack_sequences(_curation_docs(spark)))
+    # exactly one SinglePartition exchange — the one-row-per-bucket summary;
+    # the corpus itself reaches the result through a broadcast join
+    assert plan.count("SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_plan_paragraph_dedup_has_no_window(spark):
+    from graphiti_spark.datapipe.decontam import paragraph_dedup
+
+    plan = _plan(paragraph_dedup(_curation_docs(spark)))
+    # the skew-safety claim: no Window over the paragraph key anywhere —
+    # the winner is a map-side-combining groupBy min(struct)
+    assert "Window" not in plan
+
+
+def test_plan_contamination_broadcasts_eval_grams(spark):
+    from graphiti_spark.datapipe.decontam import contamination_report
+
+    docs = _curation_docs(spark)
+    plan = _plan(contamination_report(docs, docs.limit(3), n=2))
+    assert "BroadcastHashJoin" in plan
