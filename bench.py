@@ -119,6 +119,15 @@ def main() -> None:
         "pii_mask",
         lambda: mask_pii(docs).select(F.sum(F.length("masked_text"))).collect()[0][0],
     )
+    from graphiti_spark.datapipe.decontam import paragraph_dedup
+    from graphiti_spark.datapipe.sampling import pack_sequences
+
+    timed("pack_sequences", lambda: pack_sequences(docs).count())
+    # pseudo-paragraphs: the synthetic docs are single-line (see __spark_entry__)
+    chunked = docs.select(
+        "doc_id", F.regexp_replace("text", r"((\S+\s+){15}\S+)\s+", "$1\n\n").alias("text")
+    )
+    timed("paragraph_dedup", lambda: paragraph_dedup(chunked).count())
     timed("bm25_search", lambda: bm25_scores(docs, "doc_id", "text", ["spark", "join", "filter"]).count())
 
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
