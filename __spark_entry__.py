@@ -111,6 +111,10 @@ _REP_CTES = rf"""base AS (
 _HOST_RE_SQL = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
 _PATH_RE_SQL = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
 
+# Pinned-golden directory (tools/make_goldens.py writes it; the link-graph
+# oracles RE-COMPUTE from the kg_pages golden rather than reading a result).
+_GOLDEN_DIR = "/root/repo/tests/golden/sf0.01"
+
 
 def _pii_count_sql(kind: str) -> str:
     from graphiti_spark.datapipe.pii import PII_PATTERNS
@@ -536,6 +540,17 @@ def _q_embedding_cosine_pairs(spark, sf_dir):
     )
 
 
+def _q_semdedup_survivors(spark, sf_dir):
+    """SemDeDup end-to-end (datapipe/dedup.semantic_dedup): deterministic
+    k-means (k=4, 2 Lloyd rounds) -> within-cell cosine pairs >= 0.92 ->
+    transitive closure -> one survivor per component. Oracle: full SQL
+    restatement (the trained-IVF Lloyd CTEs + pair join + recursive-CTE
+    closure) — every stage independently recomputed by DuckDB."""
+    from graphiti_spark.datapipe.dedup import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), k=4, threshold=0.92, n_iter=2)
+
+
 def _q_connected_components(spark, sf_dir):
     from graphiti_spark.datapipe.dedup import ngram_jaccard_pairs
     from graphiti_spark.operators.components import connected_components
@@ -890,6 +905,63 @@ def _q_domain_stats(spark, sf_dir):
     )
 
 
+def _q_kg_pages(spark, sf_dir):
+    """Synthetic Common-Crawl-style pages (the input_hint table: url,
+    warc_ts, html, lang — text is null pre-extraction and omitted here).
+    Deterministic pure function of documents.parquet; golden-pinned so the
+    link-graph oracles below can recompute from identical bytes in SQL.
+    warc_ts surfaces as epoch micros (timestamp repr differs across
+    engines; the integer does not)."""
+    from graphiti_spark.synth import pages_from_documents
+
+    p = pages_from_documents(spark, sf_dir)
+    # html surfaces as a STRING (it is valid UTF-8 by construction): the
+    # value-hash compare is engine-agnostic for strings, where binary would
+    # hash differently (bytes vs bytearray) depending on the harness's
+    # Arrow setting.
+    return p.select(
+        "url",
+        F.unix_micros(F.col("warc_ts")).alias("ts_us"),
+        F.decode(F.col("html"), "UTF-8").alias("html"),
+        "lang",
+    )
+
+
+def _q_link_graph_edges(spark, sf_dir):
+    """URL-level web link graph (datapipe/webgraph.py): href harvest from the
+    html bytes (map-only decode+regex+explode) -> resolve against the source
+    host -> one groupBy. Oracle: DuckDB recomputes extraction+resolution+agg
+    in SQL over the pinned kg_pages golden — independent logic, identical
+    input bytes."""
+    from graphiti_spark.datapipe.webgraph import extract_links, link_graph
+    from graphiti_spark.synth import pages_from_documents
+
+    links = extract_links(pages_from_documents(spark, sf_dir))
+    return link_graph(links).select(
+        "src_url", "dst_url", F.col("n_links").cast("long").alias("n_links")
+    )
+
+
+def _q_host_link_stats(spark, sf_dir):
+    """Per-host in/out degree accounting over the link graph (webgraph.py:
+    host_link_stats). Hot hub hosts (every page links one of 4 hubs) are the
+    deliberate skew case — algebraic counts collapse map-side. Oracle: same
+    full-outer host aggregation in DuckDB SQL over the pinned pages."""
+    from graphiti_spark.datapipe.webgraph import extract_links, host_link_stats
+    from graphiti_spark.synth import pages_from_documents
+
+    links = extract_links(pages_from_documents(spark, sf_dir))
+    out = host_link_stats(links)
+    return out.select(
+        "host",
+        F.col("out_links").cast("long").alias("out_links"),
+        F.col("out_hosts").cast("long").alias("out_hosts"),
+        F.col("in_links").cast("long").alias("in_links"),
+        F.col("in_hosts").cast("long").alias("in_hosts"),
+        F.col("self_links").cast("long").alias("self_links"),
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     from graphiti_spark.datapipe.sampling import stratified_sample
 
@@ -1154,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "neardup_keep_canonical": _q_neardup_keep_canonical,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
+        "semdedup_survivors": _q_semdedup_survivors,
         # --- similarity search ---
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1170,6 +1243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_mask": _q_pii_mask,
         "url_features": _q_url_features,
         "domain_stats": _q_domain_stats,
+        # --- web link graph (Common-Crawl-style crawl tier) ---
+        "kg_pages": _q_kg_pages,
+        "link_graph_edges": _q_link_graph_edges,
+        "host_link_stats": _q_host_link_stats,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "ngram_decontam": _q_ngram_decontam,
@@ -1215,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_search_hybrid",
             "kg_message_edges",
             "kg_json_edges",
+            "kg_pages",
         )
     }
     lang_score = lambda words: f"len(list_filter({_TOKS}, t -> t IN ({words})))"
@@ -1626,6 +1704,88 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(total_tokens AS DOUBLE)
                          / (SELECT sum(total_tokens) FROM agg), 6) AS token_share
             FROM agg
+        """,
+        # SemDeDup twin: deterministic Lloyd k-means (same CTEs as the
+        # trained-IVF oracle) + within-cell pair join + recursive-CTE
+        # transitive closure + lexicographic-min survivor — the whole
+        # pipeline independently recomputed in SQL.
+        "semdedup_survivors": f"""
+            WITH RECURSIVE
+            s0 AS (SELECT row_number() OVER (ORDER BY h, vid) - 1 AS cid, cv FROM
+                     (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id AS vid, embedding AS cv
+                      FROM embeddings ORDER BY 1, 2 LIMIT 4)),
+            {_lloyd_round(1, "s0")},
+            {_lloyd_round(2, "c1")},
+            af AS (SELECT e.vec_id, e.embedding, c.cid,
+                          {_COS.format(a="e.embedding", b="c.cv")} AS cs
+                   FROM embeddings e CROSS JOIN c2 c),
+            bf AS (SELECT vec_id, embedding, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM af)
+                   WHERE rn = 1),
+            prs AS (SELECT x.vec_id AS ia, y.vec_id AS ib
+                    FROM bf x JOIN bf y ON x.cid = y.cid AND x.vec_id < y.vec_id
+                    WHERE {_COS.format(a="x.embedding", b="y.embedding")} >= 0.92),
+            edges AS (SELECT CAST(ia AS VARCHAR) AS u, CAST(ib AS VARCHAR) AS v FROM prs
+                      UNION SELECT CAST(ib AS VARCHAR), CAST(ia AS VARCHAR) FROM prs),
+            reach(u, v) AS (SELECT u, v FROM edges
+                            UNION
+                            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+            canon AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+            SELECT CAST(e.vec_id AS VARCHAR) AS doc_id,
+                   least(CAST(e.vec_id AS VARCHAR), coalesce(c.mv, CAST(e.vec_id AS VARCHAR))) AS canonical_id,
+                   least(CAST(e.vec_id AS VARCHAR), coalesce(c.mv, CAST(e.vec_id AS VARCHAR))) = CAST(e.vec_id AS VARCHAR) AS is_kept
+            FROM embeddings e LEFT JOIN canon c ON CAST(e.vec_id AS VARCHAR) = c.u
+        """,
+        # Link-graph oracles: DuckDB RE-COMPUTES href extraction, resolution,
+        # and aggregation in SQL from the pinned kg_pages golden (identical
+        # input bytes, independent logic) — not a golden passthrough.
+        "link_graph_edges": f"""
+            WITH hrefs AS (
+              SELECT url AS src_url,
+                     regexp_extract(url, '{_HOST_RE_SQL}', 1) AS src_host,
+                     unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+              FROM read_parquet('{_GOLDEN_DIR}/kg_pages.parquet')),
+            resolved AS (
+              SELECT src_url,
+                CASE WHEN regexp_matches(href, '^https?://') THEN href
+                     WHEN href LIKE '//%' THEN NULL
+                     WHEN href LIKE '/%' THEN concat('https://', src_host, href)
+                     ELSE NULL END AS dst_url
+              FROM hrefs)
+            SELECT src_url, dst_url, count(*) AS n_links
+            FROM resolved WHERE dst_url IS NOT NULL
+            GROUP BY src_url, dst_url
+        """,
+        "host_link_stats": f"""
+            WITH hrefs AS (
+              SELECT url AS src_url,
+                     regexp_extract(url, '{_HOST_RE_SQL}', 1) AS src_host,
+                     unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+              FROM read_parquet('{_GOLDEN_DIR}/kg_pages.parquet')),
+            links AS (
+              SELECT src_url, src_host,
+                     regexp_extract(dst_url, '{_HOST_RE_SQL}', 1) AS dst_host
+              FROM (SELECT src_url, src_host,
+                      CASE WHEN regexp_matches(href, '^https?://') THEN href
+                           WHEN href LIKE '//%' THEN NULL
+                           WHEN href LIKE '/%' THEN concat('https://', src_host, href)
+                           ELSE NULL END AS dst_url
+                    FROM hrefs)
+              WHERE dst_url IS NOT NULL),
+            o AS (SELECT src_host AS host, count(*) AS out_links,
+                         count(DISTINCT dst_host) AS out_hosts,
+                         CAST(sum(CASE WHEN src_host = dst_host THEN 1 ELSE 0 END) AS BIGINT) AS self_links
+                  FROM links GROUP BY src_host),
+            i AS (SELECT dst_host AS host, count(*) AS in_links,
+                         count(DISTINCT src_host) AS in_hosts
+                  FROM links GROUP BY dst_host)
+            SELECT coalesce(o.host, i.host) AS host,
+                   coalesce(out_links, 0) AS out_links,
+                   coalesce(out_hosts, 0) AS out_hosts,
+                   coalesce(in_links, 0) AS in_links,
+                   coalesce(in_hosts, 0) AS in_hosts,
+                   coalesce(self_links, 0) AS self_links
+            FROM o FULL OUTER JOIN i ON o.host = i.host
         """,
         "stratified_sample": f"""
             WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS nt FROM documents),

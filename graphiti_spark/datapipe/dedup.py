@@ -554,3 +554,66 @@ def embedding_cosine_pairs(
         F.col("cosine") >= threshold
     )
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_cap: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    removal — cluster the embedding space, find cosine near-dups WITHIN each
+    cluster only, keep one survivor per duplicate component. The published
+    recipe for pruning web corpora where lexical sketches (MinHash/SimHash
+    above) miss paraphrase-level duplication.
+
+    Composition of existing, independently-oracled primitives:
+      1. ``train_ivf_centroids`` — deterministic Lloyd k-means (md5-ordered
+         seeds, rounded means; simsearch.py) — no RNG, SQL-twin-able.
+      2. ``ivf_assign`` — cell = argmax cosine, ties to the lower cell.
+      3. within-cell self-join at cosine >= threshold. This is the SemDeDup
+         approximation that makes all-pairs tractable: candidate fan-out is
+         bounded by cell population (~n/k), not corpus size, and cells are
+         embarrassingly parallel. Cross-cell near-dups are out of contract
+         (the paper's own recall trade).
+      4. ``keep_canonical`` — transitive closure over the pair list
+         (large-star/small-star CC), lexicographic-min id survives.
+
+    ``cell_cap``: the same skew hygiene as every sibling blocker — a
+    degenerate clustering (most mass in one cell: uniform embeddings, bad
+    k) would fan out O(cap^2) per cell; over-cap cells are dropped from
+    pair generation, bounding worst-case work regardless of corpus size.
+    At web scale size k so n/k stays under the cap (the paper uses
+    k ~ sqrt(n)); the k-means train cost is one shuffle per Lloyd round.
+
+    Returns (doc_id string, canonical_id string, is_kept boolean), one row
+    per input embedding — `is_kept = false` rows are the prune set.
+    """
+    from graphiti_spark.datapipe.simsearch import ivf_assign, train_ivf_centroids
+    from graphiti_spark.functions.embeddings import cosine_col
+
+    cents = train_ivf_centroids(
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(embeddings, cents, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "ivf_cell"
+    )
+    sizes = a.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n"))
+    a = a.join(sizes.filter(F.col("n") <= cell_cap).select("ivf_cell"), "ivf_cell")
+    pairs = (
+        a.alias("x")
+        .join(a.alias("y"), "ivf_cell")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            cosine_col(F.col("x._v"), F.col("y._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return keep_canonical(embeddings, pairs.select("id_a", "id_b"), id_col=id_col)

@@ -1,0 +1,150 @@
+"""Web link-graph extraction: href harvesting, URL- and host-level edge
+tables, and host in/out-degree accounting over Common-Crawl-style pages.
+
+The link graph is the other first-class artifact of a web corpus besides the
+text (Common Crawl publishes it separately as cc-main-*-webgraph); a KG
+pipeline over web pages wants it for source authority (host PageRank feeds
+the quality prior in datapipe/webstats.py) and for crawl-frontier /
+coverage accounting. The reference has no crawl tier — this is part of the
+web-corpus surface the north rule adds on top of its graph operators; the
+host graph feeds the same `analytics/centrality.py:pagerank` used for
+entity centrality (reference: graphiti_core/utils/maintenance/graph_data_operations.py
+centrality jobs).
+
+Execution shape, sized for 100 TB of raw html:
+ - `extract_links` is map-only (decode + one compiled regex + explode):
+   embarrassingly parallel, no shuffle, codegen'd JVM regex — the dominant
+   cost is the scan itself.
+ - `link_graph` / `host_graph` are single groupBy aggregations. Hub pages
+   (every page links to a handful of portals) make dst keys zipfian, but
+   count aggregation is algebraic: map-side partial combine collapses each
+   hot key to one row per task BEFORE the exchange, so skew never
+   concentrates a reducer.
+ - `host_link_stats` aggregates the two bounded host-level views (hosts ≪
+   pages) and joins them host-to-host — both sides are post-aggregation
+   small; AQE broadcasts them.
+All expressions sit in the Java-regex / DuckDB common subset so the oracle
+twins execute the identical logic in SQL over the pinned pages golden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphiti_spark.datapipe.webstats import host_col
+
+# href values in double quotes — the deterministic common-subset extraction
+# (both engines: regexp_extract_all(s, pattern, 1)). Single-quoted and bare
+# attribute syntax is out of contract for the synthetic corpus.
+_HREF_PATTERN = r'href="([^"]*)"'
+
+
+def resolve_href(href: Column, src_host: Column) -> Column:
+    """Resolve one href against the source host: absolute http(s) URLs pass
+    through; root-relative paths (`/...`) resolve to the source host; every
+    other form (fragment, mailto:, protocol-relative, bare relative) is NULL
+    — dropped by the caller. Pure column expression."""
+    return (
+        F.when(href.rlike("^https?://"), href)
+        # protocol-relative (`//host/p`) is out of contract — it must be
+        # checked BEFORE the root-relative branch, which it would otherwise
+        # match (both start with "/").
+        .when(href.startswith("//"), F.lit(None).cast("string"))
+        .when(
+            href.startswith("/"),
+            F.concat(F.lit("https://"), src_host, href),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, src_host, dst_url, dst_host) — one row per resolvable href
+    occurrence. Map-only: decode + regexp_extract_all + explode, no Python."""
+    raw = F.decode(F.col(html_col), "UTF-8")
+    src_host = host_col(F.col(url_col))
+    exploded = pages.select(
+        F.col(url_col).alias("src_url"),
+        src_host.alias("src_host"),
+        F.explode(F.regexp_extract_all(raw, F.lit(_HREF_PATTERN), 1)).alias("href"),
+    )
+    dst = resolve_href(F.col("href"), F.col("src_host"))
+    return (
+        exploded.select(
+            "src_url",
+            "src_host",
+            dst.alias("dst_url"),
+        )
+        .filter(F.col("dst_url").isNotNull())
+        .withColumn("dst_host", host_col(F.col("dst_url")))
+    )
+
+
+def link_graph(links: DataFrame) -> DataFrame:
+    """URL-level edge list: (src_url, dst_url, n_links). One shuffle;
+    algebraic count → map-side combine bounds hot-dst skew."""
+    return links.groupBy("src_url", "dst_url").agg(F.count(F.lit(1)).alias("n_links"))
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """Host-level edge list: (src_host, dst_host, n_links, n_src_pages).
+    The input to host PageRank (`analytics.centrality.pagerank` takes any
+    (src, dst) edge frame). count_distinct(src_url) is the dedup-resistant
+    edge weight (a page linking the same host 50× counts once)."""
+    return links.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct("src_url").alias("n_src_pages"),
+    )
+
+
+def host_link_stats(links: DataFrame) -> DataFrame:
+    """Per-host degree accounting: outbound link count + distinct dst hosts,
+    inbound link count + distinct src hosts, self-link count. Full outer on
+    the host key — a host appearing only as a destination (pure sink, e.g.
+    a hub that is linked but not crawled) still gets a row."""
+    out_agg = links.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_links"),
+        F.count_distinct("dst_host").alias("out_hosts"),
+        F.sum(
+            F.when(F.col("src_host") == F.col("dst_host"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("self_links"),
+    )
+    in_agg = links.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_links"),
+        F.count_distinct("src_host").alias("in_hosts"),
+    )
+    joined = out_agg.join(in_agg, "host", "full_outer")
+    return joined.select(
+        "host",
+        F.coalesce("out_links", F.lit(0)).alias("out_links"),
+        F.coalesce("out_hosts", F.lit(0)).alias("out_hosts"),
+        F.coalesce("in_links", F.lit(0)).alias("in_links"),
+        F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
+        F.coalesce("self_links", F.lit(0)).alias("self_links"),
+    )
+
+
+def host_pagerank(
+    links: DataFrame, damping: float = 0.85, n_iter: int = 20
+) -> DataFrame:
+    """Host authority: PageRank over the distinct host→host edge set,
+    reusing the entity-graph implementation (one job per iteration, dangling
+    mass folded in). Self-links are dropped first (standard for web-graph
+    authority — a host cannot vouch for itself)."""
+    from graphiti_spark.analytics.centrality import pagerank
+
+    edges = (
+        links.filter(F.col("src_host") != F.col("dst_host"))
+        .select(F.col("src_host"), F.col("dst_host"))
+        .distinct()
+    )
+    return pagerank(
+        edges,
+        src_col="src_host",
+        dst_col="dst_host",
+        damping=damping,
+        iterations=n_iter,
+    )

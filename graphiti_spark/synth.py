@@ -23,13 +23,32 @@ from graphiti_spark.session import plan_width
 _HEAD = (
     "<html><head><title>Doc</title><script>var t=1;</script>"
     "<style>.x{color:blue}</style></head><body>"
-    "<nav><ul><li>Home</li><li>Index</li></ul></nav><div>"
+    "<nav><ul><li>Home</li><li>Index</li></ul>"
 )
+_NAV_CLOSE = "</nav><div>"
 _TAIL = "</div><footer>Generated corpus page.</footer></body></html>"
 
 # Small closed vocab of SVO verbs injected deterministically (ensures the
 # triple extractor has work to do at corpus scale).
 _VERBS = ["likes", "owns", "hired", "acquired", "founded", "supports", "joined", "launched"]
+
+
+def _build_links(doc_id: int) -> str:
+    """Deterministic related-links block, emitted INSIDE the stripped <nav>
+    so extracted text is unchanged — the link graph (datapipe/webgraph.py)
+    is harvested from html, never from text. Shape mirrors the real web:
+    one link to a closed set of hub hosts (hot in-degree — the skew case
+    host_graph's map-side combine must absorb) and 2-4 root-relative links
+    to earlier doc ids (preferential attachment; targets may not exist
+    in-corpus — dangling links are normal), plus one non-resolvable href
+    (fragment) the extractor must drop. Pure function of doc_id."""
+    h = int(hashlib.md5(f"{doc_id}:links".encode()).hexdigest()[:8], 16)
+    items = [f'<li><a href="https://hub{h % 4}.example.net/">Hub</a></li>']
+    for j in range(2 + h % 3):
+        t = int(hashlib.md5(f"{doc_id}:l{j}".encode()).hexdigest()[:8], 16)
+        items.append(f'<li><a href="/doc/{t % max(doc_id, 1)}">rel</a></li>')
+    items.append('<li><a href="#top">top</a></li>')
+    return '<ul class="rel">' + "".join(items) + "</ul>"
 
 
 def _build_html(doc_id: int, text: str) -> bytes:
@@ -52,7 +71,7 @@ def _build_html(doc_id: int, text: str) -> bytes:
         i += 3
         k += 1
     paras = "".join(f"<p>{s}</p>" for s in sents)
-    return (_HEAD + paras + _TAIL).encode("utf-8")
+    return (_HEAD + _build_links(doc_id) + _NAV_CLOSE + paras + _TAIL).encode("utf-8")
 
 
 @F.pandas_udf(BinaryType())

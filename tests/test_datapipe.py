@@ -230,3 +230,41 @@ def test_frame_sample_plan_metadata_only(spark):
     rows = plan.collect()
     assert all(r["sample_frames"][0] == 0 for r in rows)
     assert "payload" not in plan.columns
+
+
+def test_semantic_dedup_hand_computed(spark):
+    """SemDeDup: identical vectors always share a k-means cell (same argmax,
+    same tie-break), so at threshold 0.99 each identical group keeps exactly
+    its lexicographic-min id; the lone distinct vector survives regardless
+    of which cell it lands in (no >=0.99 partner anywhere)."""
+    from graphiti_spark.datapipe.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),  # dup of 2
+        (4, [0.5, 0.5, 0.70710678, 0.0]),  # cos <= 0.71 to everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["doc_id"]: (r["canonical_id"], r["is_kept"]) for r in
+           semantic_dedup(df, k=2, threshold=0.99, n_iter=2).collect()}
+    assert out == {
+        "0": ("0", True),
+        "1": ("0", False),
+        "2": ("2", True),
+        "3": ("2", False),
+        "4": ("4", True),
+    }
+
+
+def test_semantic_dedup_cell_cap_defuses_degenerate_clustering(spark):
+    """cell_cap: with every vector forced into over-cap cells, no pairs are
+    generated and everything is kept — bounded work under degenerate
+    clustering, same hygiene as the sibling blockers."""
+    from graphiti_spark.datapipe.dedup import semantic_dedup
+
+    rows = [(i, [1.0, 0.0, float(i) * 1e-6, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, k=1, threshold=0.5, n_iter=1, cell_cap=2).collect()
+    assert all(r["is_kept"] for r in out)

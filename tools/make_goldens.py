@@ -38,6 +38,7 @@ GOLDEN_QUERIES = [
     "kg_search_hybrid",
     "kg_message_edges",
     "kg_json_edges",
+    "kg_pages",
 ]
 
 
