@@ -115,6 +115,35 @@ _PATH_RE_SQL = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
 # oracles RE-COMPUTE from the kg_pages golden rather than reading a result).
 _GOLDEN_DIR = "/root/repo/tests/golden/sf0.01"
 
+# DSIR weights twin (datapipe/dsir.importance_weights at n_buckets=1000,
+# target = en documents, raw = all): gram explode (unigrams + bigrams of the
+# whitespace-lower token stream), md5 bucket hash, add-one-smoothed bag
+# models, per-doc log likelihood ratio. Target features are the raw features
+# of the en subset (same per-doc text), so `f` is computed once.
+_DSIR_WEIGHTS_CTES = f"""
+            rt AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_concat(t,
+                           list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                          i -> concat(t[i], ' ', t[i + 1])))) AS gram
+                  FROM rt),
+            f AS (SELECT doc_id,
+                         cast(concat('0x', substr(md5(concat('dsir:', gram)), 1, 15)) AS BIGINT) % 1000 AS bucket,
+                         count(*) AS cnt
+                  FROM g GROUP BY doc_id, bucket),
+            tm AS (SELECT bucket, sum(cnt) AS t_cnt FROM f JOIN documents USING (doc_id)
+                   WHERE lang = 'en' GROUP BY bucket),
+            rm AS (SELECT bucket, sum(cnt) AS r_cnt FROM f GROUP BY bucket),
+            tt AS (SELECT sum(cnt) AS t_total FROM f JOIN documents USING (doc_id) WHERE lang = 'en'),
+            rr AS (SELECT sum(cnt) AS r_total FROM f),
+            dsir_w AS (
+              SELECT f.doc_id,
+                     round(sum(cnt * (ln(coalesce(t_cnt, 0) + 1.0) - ln(t_total + 1000.0)
+                                    - ln(coalesce(r_cnt, 0) + 1.0) + ln(r_total + 1000.0))), 6) AS log_weight
+              FROM f LEFT JOIN tm USING (bucket) LEFT JOIN rm USING (bucket)
+              CROSS JOIN tt CROSS JOIN rr
+              GROUP BY f.doc_id)"""
+
 
 def _pii_count_sql(kind: str) -> str:
     from graphiti_spark.datapipe.pii import PII_PATTERNS
@@ -905,6 +934,32 @@ def _q_domain_stats(spark, sf_dir):
     )
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (datapipe/dsir.py): hashed unigram+bigram
+    bag models (md5 buckets, add-one smoothing) for target = en documents
+    vs raw = all documents; weight = per-doc log likelihood ratio. Oracle:
+    full SQL restatement (gram explode, bucket hash, both models, ratio)."""
+    from graphiti_spark.datapipe.dsir import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = importance_weights(docs, docs.filter("lang = 'en'"), n_buckets=1000)
+    return w.select(F.col("id").cast("long").alias("doc_id"), "log_weight")
+
+
+def _q_dsir_sample(spark, sf_dir):
+    """Deterministic Gumbel top-k resample over the DSIR weights — the
+    paper's sampling step with pinned md5-derived noise. Oracle: same SQL
+    + the Gumbel key expression + ORDER BY/LIMIT."""
+    from graphiti_spark.datapipe.dsir import dsir_sample, importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = importance_weights(docs, docs.filter("lang = 'en'"), n_buckets=1000)
+    out = dsir_sample(w, k=100)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"), "log_weight", "sample_key"
+    )
+
+
 def _q_kg_pages(spark, sf_dir):
     """Synthetic Common-Crawl-style pages (the input_hint table: url,
     warc_ts, html, lang — text is null pre-extraction and omitted here).
@@ -1248,6 +1303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_edges": _q_link_graph_edges,
         "host_link_stats": _q_host_link_stats,
         "stratified_sample": _q_stratified_sample,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_sample": _q_dsir_sample,
         "pack_sequences": _q_pack_sequences,
         "ngram_decontam": _q_ngram_decontam,
         "chunk_documents": _q_chunk_documents,
@@ -1704,6 +1761,20 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(total_tokens AS DOUBLE)
                          / (SELECT sum(total_tokens) FROM agg), 6) AS token_share
             FROM agg
+        """,
+        "dsir_weights": f"""
+            WITH {_DSIR_WEIGHTS_CTES}
+            SELECT doc_id, log_weight FROM dsir_w
+        """,
+        "dsir_sample": f"""
+            WITH {_DSIR_WEIGHTS_CTES}
+            SELECT doc_id, log_weight,
+                   round(log_weight - ln(-ln(
+                     (cast(concat('0x', substr(md5(concat('dsir-g:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                      % 1000000 + 0.5) / 1000000.0)), 6) AS sample_key
+            FROM dsir_w
+            ORDER BY sample_key DESC, doc_id
+            LIMIT 100
         """,
         # SemDeDup twin: deterministic Lloyd k-means (same CTEs as the
         # trained-IVF oracle) + within-cell pair join + recursive-CTE

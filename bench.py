@@ -134,6 +134,20 @@ def main() -> None:
     timed("ann_brute_topk", lambda: brute_force_topk(emb, qvec, k=20).count())
     timed("ann_lsh_topk", lambda: lsh_bucketed_topk(emb, qvec, k=20).count())
 
+    # link graph over the same pages corpus (map-only harvest + host agg)
+    from graphiti_spark.datapipe.webgraph import extract_links, host_link_stats
+
+    links = extract_links(pages_from_documents(spark, sf_dir, replicate=replicate))
+    timed("link_graph_host_stats", lambda: host_link_stats(links).count())
+
+    # SemDeDup over the embedding corpus (k-means + within-cell pairs + CC)
+    from graphiti_spark.datapipe.dedup import semantic_dedup
+
+    timed(
+        "semdedup",
+        lambda: semantic_dedup(emb, k=8, threshold=0.92).filter("is_kept").count(),
+    )
+
     timed("degree_centrality", lambda: degree_centrality(edges).count())
     timed("kg_pagerank10", lambda: pagerank(edges, iterations=10).count())
 
