@@ -115,6 +115,66 @@ _PATH_RE_SQL = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
 # oracles RE-COMPUTE from the kg_pages golden rather than reading a result).
 _GOLDEN_DIR = "/root/repo/tests/golden/sf0.01"
 
+# Shared href-harvest + host-resolution CTE body over the pinned pages golden
+# (the link_graph_edges / host_link_stats extraction, factored for the
+# graph-metric oracles that consume host->host edges).
+_HOST_LINKS_CTES = f"""
+            hrefs AS (
+              SELECT url AS src_url,
+                     regexp_extract(url, '{_HOST_RE_SQL}', 1) AS src_host,
+                     unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+              FROM read_parquet('{_GOLDEN_DIR}/kg_pages.parquet')),
+            hlinks AS (
+              SELECT src_host,
+                     regexp_extract(dst_url, '{_HOST_RE_SQL}', 1) AS dst_host
+              FROM (SELECT src_host,
+                      CASE WHEN regexp_matches(href, '^https?://') THEN href
+                           WHEN href LIKE '//%' THEN NULL
+                           WHEN href LIKE '/%' THEN concat('https://', src_host, href)
+                           ELSE NULL END AS dst_url
+                    FROM hrefs)
+              WHERE dst_url IS NOT NULL)"""
+
+
+def _hits_hosts_sql(n_iter: int = 10) -> str:
+    """Unrolled-CTE twin of graph_metrics.hits over the host link graph:
+    init hub = round(1/n, 6), then per iteration one authority half-step and
+    one hub half-step, each L1-normalized and rounded to 6dp — the identical
+    arithmetic the Spark loop executes, so the fixpoint is pinned exactly
+    (the trained-IVF Lloyd-round convention)."""
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each reference,
+    # and the normalizer subqueries reference each level 2-3x — unmaterialized
+    # that expands the 10-iteration chain exponentially (3^20 parquet scans).
+    parts = [
+        f"""WITH {_HOST_LINKS_CTES},
+            e AS MATERIALIZED (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hlinks
+                  WHERE src_host <> dst_host),
+            n AS MATERIALIZED (SELECT src AS uuid FROM e UNION SELECT dst FROM e),
+            h0 AS MATERIALIZED (SELECT uuid, round(1.0 / (SELECT count(*) FROM n), 6) AS hub FROM n)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (SELECT e.dst AS uuid, sum(h.hub) AS raw
+                       FROM e JOIN h{i - 1} h ON e.src = h.uuid GROUP BY e.dst),
+            a{i} AS MATERIALIZED (SELECT n.uuid,
+                       CASE WHEN (SELECT sum(raw) FROM ar{i}) > 0
+                            THEN round(coalesce(ar{i}.raw, 0) / (SELECT sum(raw) FROM ar{i}), 6)
+                            ELSE 0.0 END AS authority
+                     FROM n LEFT JOIN ar{i} ON n.uuid = ar{i}.uuid),
+            hr{i} AS MATERIALIZED (SELECT e.src AS uuid, sum(a.authority) AS raw
+                       FROM e JOIN a{i} a ON e.dst = a.uuid GROUP BY e.src),
+            h{i} AS MATERIALIZED (SELECT n.uuid,
+                       CASE WHEN (SELECT sum(raw) FROM hr{i}) > 0
+                            THEN round(coalesce(hr{i}.raw, 0) / (SELECT sum(raw) FROM hr{i}), 6)
+                            ELSE 0.0 END AS hub
+                     FROM n LEFT JOIN hr{i} ON n.uuid = hr{i}.uuid)"""
+        )
+    body = ",\n            ".join(parts)
+    return f"""{body}
+            SELECT n.uuid AS host, h{n_iter}.hub, a{n_iter}.authority
+            FROM n JOIN h{n_iter} ON n.uuid = h{n_iter}.uuid
+                   JOIN a{n_iter} ON n.uuid = a{n_iter}.uuid"""
+
 # DSIR weights twin (datapipe/dsir.importance_weights at n_buckets=1000,
 # target = en documents, raw = all): gram explode (unigrams + bigrams of the
 # whitespace-lower token stream), md5 bucket hash, add-one-smoothed bag
@@ -1017,6 +1077,84 @@ def _q_host_link_stats(spark, sf_dir):
     )
 
 
+def _coorder_part_graph(spark, sf_dir):
+    """Part co-purchase edge list: two parts are adjacent iff they appear in
+    the same order. Fan-out per order is bounded by the (small, fixed)
+    per-order lineitem count, so the self-join never amplifies: at any SF
+    the pair count stays O(|orders| * items_per_order^2)."""
+    a = _t(spark, sf_dir, "lineitem").select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = _t(spark, sf_dir, "lineitem").select("l_orderkey", F.col("l_partkey").alias("pb"))
+    return a.join(b, "l_orderkey").filter(F.col("pa") < F.col("pb")).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    )
+
+
+def _host_edges(spark, sf_dir):
+    from graphiti_spark.datapipe.webgraph import extract_links
+    from graphiti_spark.synth import pages_from_documents
+
+    links = extract_links(pages_from_documents(spark, sf_dir))
+    return links.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+
+
+def _q_triangle_counts(spark, sf_dir):
+    """Per-node triangle participation + local clustering coefficient over
+    the part co-purchase graph (analytics/graph_metrics.triangle_counts).
+    Spark runs the degree-ordered node-iterator (O(m^1.5) wedge bound); the
+    oracle enumerates ordered edge triples naively — independent algorithms,
+    identical counts."""
+    from graphiti_spark.analytics.graph_metrics import triangle_counts
+
+    out = triangle_counts(_coorder_part_graph(spark, sf_dir))
+    return out.select(
+        F.col("uuid").cast("long").alias("part"),
+        F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+        "lcc",
+    )
+
+
+def _q_hits_hosts(spark, sf_dir):
+    """HITS hubs/authorities over the host link graph — the hub-spoke
+    structure the synthetic crawl deliberately plants (every page links a
+    few portal hosts) is exactly what HITS separates. 10 iterations, L1
+    norm, 6dp per half-step; oracle replays the identical arithmetic in
+    unrolled SQL CTEs over the pinned kg_pages golden."""
+    from graphiti_spark.analytics.graph_metrics import hits
+
+    out = hits(_host_edges(spark, sf_dir), n_iter=10)
+    return out.select(F.col("uuid").alias("host"), "hub", "authority")
+
+
+def _q_adamic_adar_parts(spark, sf_dir):
+    """Adamic-Adar link prediction on the part co-purchase graph: top-100
+    non-adjacent pairs by summed 1/ln(deg) over common neighbors, hub
+    intermediates capped at degree 200 (the sf0.01 graph's max degree is
+    206, so the cap is genuinely exercised). Rounding to 6dp precedes the
+    top-k cut on both engines."""
+    from graphiti_spark.analytics.graph_metrics import adamic_adar
+
+    out = adamic_adar(_coorder_part_graph(spark, sf_dir), deg_cap=200, top_k=100)
+    return out.select(
+        F.col("uuid_a").cast("long").alias("uuid_a"),
+        F.col("uuid_b").cast("long").alias("uuid_b"),
+        "score",
+    )
+
+
+def _q_harmonic_hosts(spark, sf_dir):
+    """Harmonic centrality of hosts in the (undirected) link graph — the
+    closeness variant that tolerates the crawl's disconnected components.
+    One multi-source BFS for all sampled sources; oracle recomputes via a
+    recursive-CTE BFS over the pinned pages (the betweenness pattern)."""
+    from graphiti_spark.analytics.graph_metrics import harmonic_centrality
+
+    out = harmonic_centrality(
+        _host_edges(spark, sf_dir), sample_size=50, max_depth=10, directed=False
+    )
+    return out.select(F.col("uuid").alias("host"), "harmonic")
+
+
 def _q_stratified_sample(spark, sf_dir):
     from graphiti_spark.datapipe.sampling import stratified_sample
 
@@ -1302,6 +1440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pages": _q_kg_pages,
         "link_graph_edges": _q_link_graph_edges,
         "host_link_stats": _q_host_link_stats,
+        "hits_hosts": _q_hits_hosts,
+        "harmonic_hosts": _q_harmonic_hosts,
+        # --- graph metrics beyond the reference's centrality set ---
+        "triangle_counts": _q_triangle_counts,
+        "adamic_adar_parts": _q_adamic_adar_parts,
         "stratified_sample": _q_stratified_sample,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
@@ -1857,6 +2000,64 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(in_hosts, 0) AS in_hosts,
                    coalesce(self_links, 0) AS self_links
             FROM o FULL OUTER JOIN i ON o.host = i.host
+        """,
+        "triangle_counts": """
+            WITH ue AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                               greatest(a.l_partkey, b.l_partkey) AS b
+                        FROM lineitem a JOIN lineitem b
+                          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            deg AS (SELECT uuid, count(*) AS degree FROM
+                      (SELECT a AS uuid FROM ue UNION ALL SELECT b FROM ue)
+                    GROUP BY uuid),
+            tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                    FROM ue e1
+                    JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b),
+            pn AS (SELECT uuid, count(*) AS triangles FROM
+                     (SELECT u AS uuid FROM tri UNION ALL SELECT v FROM tri
+                      UNION ALL SELECT w FROM tri)
+                   GROUP BY uuid)
+            SELECT deg.uuid AS part, degree, coalesce(triangles, 0) AS triangles,
+                   CASE WHEN degree >= 2
+                        THEN round(2.0 * coalesce(triangles, 0) / (degree * (degree - 1.0)), 6)
+                        ELSE 0.0 END AS lcc
+            FROM deg LEFT JOIN pn ON deg.uuid = pn.uuid
+        """,
+        "adamic_adar_parts": """
+            WITH ue AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                               greatest(a.l_partkey, b.l_partkey) AS b
+                        FROM lineitem a JOIN lineitem b
+                          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            adj AS (SELECT a AS z, b AS x FROM ue UNION ALL SELECT b, a FROM ue),
+            deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY z),
+            inter AS (SELECT z, 1.0 / ln(deg) AS w FROM deg WHERE deg >= 2 AND deg <= 200),
+            wadj AS (SELECT adj.z, adj.x, inter.w FROM adj JOIN inter USING (z)),
+            pairs AS (SELECT l.x AS uuid_a, r.x AS uuid_b, round(sum(l.w), 6) AS score
+                      FROM wadj l JOIN wadj r ON l.z = r.z AND l.x < r.x
+                      GROUP BY l.x, r.x)
+            SELECT pairs.uuid_a, pairs.uuid_b, pairs.score
+            FROM pairs LEFT JOIN ue ON pairs.uuid_a = ue.a AND pairs.uuid_b = ue.b
+            WHERE ue.a IS NULL
+            ORDER BY score DESC, uuid_a, uuid_b LIMIT 100
+        """,
+        "hits_hosts": _hits_hosts_sql(10),
+        "harmonic_hosts": f"""
+            WITH RECURSIVE {_HOST_LINKS_CTES},
+            e0 AS (SELECT DISTINCT src_host AS u, dst_host AS v FROM hlinks),
+            bid AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+            nds AS (SELECT DISTINCT u AS uuid FROM bid),
+            sample AS (SELECT uuid FROM nds ORDER BY uuid LIMIT 50),
+            msz AS (SELECT count(*) AS m FROM sample),
+            reach(s, v, d) AS (
+              SELECT uuid, uuid, 0 FROM sample
+              UNION
+              SELECT r.s, b.v, r.d + 1 FROM reach r JOIN bid b ON r.v = b.u WHERE r.d < 10
+            ),
+            dist AS (SELECT s, v, min(d) AS d FROM reach GROUP BY s, v),
+            cred AS (SELECT v AS uuid, sum(1.0 / d) AS raw FROM dist WHERE d > 0 GROUP BY v)
+            SELECT n.uuid AS host,
+                   round(coalesce(cred.raw, 0.0) / (msz.m - 1), 6) AS harmonic
+            FROM nds n CROSS JOIN msz LEFT JOIN cred ON n.uuid = cred.uuid
         """,
         "stratified_sample": f"""
             WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS nt FROM documents),

@@ -1,0 +1,280 @@
+"""Graph-metric operators beyond the reference's centrality set: triangle
+counting / local clustering coefficient, HITS hubs-authorities, Adamic-Adar
+link prediction, and harmonic (closeness-family) centrality.
+
+The reference ships degree/PageRank/betweenness (graphiti_core/utils/
+maintenance/centrality_operations.py) — these four are the standard next
+metrics a KG/web-corpus user reaches for: triangles+LCC for community
+cohesion, HITS for hub/portal structure of the crawl's host graph,
+Adamic-Adar for "entities likely related but not yet linked" candidate
+generation (same role as the ER candidate joins, on graph topology instead
+of names), and harmonic centrality as the robust closeness variant that
+tolerates disconnected graphs.
+
+Scale design (all sized for a 10^12-page host/entity graph):
+ - `triangle_counts` is the degree-ordered node-iterator: each undirected
+   edge is oriented from the LOWER (degree, id) endpoint to the higher, so
+   wedge fan-out per node is bounded by its oriented out-degree — O(m^1.5)
+   total work on any graph (the classic bound), never O(n * max_deg^2); a
+   hub of degree 10^6 contributes NO wedges from its own adjacency because
+   almost all its edges orient INTO it. Two chained shuffle joins, all
+   codegen.
+ - `hits` is the same iterative-join shape as `analytics.centrality.
+   pagerank`: one join + one algebraic agg per half-step, L1 normalization
+   folded in via a broadcast 1-row crossJoin (no driver barrier per
+   iteration), lineage cut with localCheckpoint. Scores are rounded to
+   `round_dp` each half-step — that pins the fixpoint across engines (the
+   oracle twin replays the identical arithmetic in unrolled SQL CTEs), the
+   same convention the trained-IVF Lloyd rounds use.
+ - `adamic_adar` joins the adjacency list with itself on the shared
+   neighbor; `deg_cap` drops super-hub intermediates BEFORE the join (a
+   degree-10^6 hub would alone generate 10^12 wedge rows, and its
+   1/ln(10^6) contribution is noise — capping is both the skew guard and
+   standard practice in link prediction).
+ - `harmonic_centrality` reuses `centrality.multi_source_bfs`: ONE
+   frontier loop for all sampled sources (<= max_depth shuffles total),
+   credit = sum of 1/depth grouped on the target — no per-source jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphiti_spark.analytics.centrality import multi_source_bfs
+
+
+def undirected_edges(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Canonical undirected edge set: (a, b) with a < b, self-loops dropped,
+    duplicates (either orientation) collapsed. One shuffle (the distinct)."""
+    s, d = F.col(src_col), F.col(dst_col)
+    return (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient:
+    (uuid, degree, triangles, lcc) with lcc = 2*T / (deg*(deg-1)).
+
+    Degree-ordered node-iterator (see module docstring for the O(m^1.5)
+    argument): orient a—b from lower (deg, id) to higher, enumerate wedges
+    from each apex's oriented out-neighborhood, close them against the
+    oriented edge set (a wedge's two feet are already rank-ordered, so the
+    closing edge can only appear in ONE orientation — a single equi-join,
+    no union of directions)."""
+    ue = undirected_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    deg = (
+        ue.select(F.col("a").alias("uuid"))
+        .unionByName(ue.select(F.col("b").alias("uuid")))
+        .groupBy("uuid")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(F.col("uuid").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("uuid").alias("b"), F.col("degree").alias("deg_b"))
+    w = ue.join(da, "a").join(db, "b")
+    lower_is_a = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = w.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lower_is_a, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select(
+        F.col("lo").alias("apex"), F.col("hi").alias("x"), F.col("deg_hi").alias("dx")
+    )
+    o2 = oriented.select(
+        F.col("lo").alias("apex"), F.col("hi").alias("y"), F.col("deg_hi").alias("dy")
+    )
+    # Wedge feet rank-ordered (x before y in the same (deg, id) order used to
+    # orient edges), so the closing edge {x, y} is oriented exactly x -> y.
+    wedges = o1.join(o2, "apex").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("apex", "x", "y")
+    per_node = (
+        tri.select(F.explode(F.array("apex", "x", "y")).alias("uuid"))
+        .groupBy("uuid")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = deg.join(per_node, "uuid", "left").withColumn(
+        "triangles", F.coalesce("triangles", F.lit(0))
+    )
+    return out.withColumn(
+        "lcc",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)), 6
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg 1999) over the distinct directed
+    edge set: (uuid, hub, authority), L1-normalized, fixed `n_iter`
+    iterations. Each half-step's scores are rounded to `round_dp` decimals —
+    the determinism contract that lets the DuckDB oracle replay the exact
+    fixpoint in unrolled CTEs (float aggregation-order drift is erased at
+    every step, the trained-IVF Lloyd-round convention).
+
+    Cost shape: per iteration 2 equi-joins + 2 algebraic sums on the edge
+    partitioning + a broadcast 1-row normalizer crossJoin (no driver
+    barrier), lineage cut per iteration. Hot authorities (every page links
+    the same portals) collapse map-side — sum is algebraic."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("uuid"))
+        .unionByName(e.select(F.col("dst").alias("uuid")))
+        .dropDuplicates(["uuid"])
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn("authority", F.lit(0.0))
+    hub = nodes.withColumn("hub", F.round(F.lit(1.0 / n), round_dp))
+
+    def _half_step(scores: DataFrame, score_col: str, join_on: str, out_on: str, out_col: str) -> DataFrame:
+        raw = (
+            e.join(scores.select(F.col("uuid").alias(join_on), score_col), join_on)
+            .groupBy(F.col(out_on).alias("uuid"))
+            .agg(F.sum(score_col).alias("_raw"))
+        )
+        total = raw.agg(F.coalesce(F.sum("_raw"), F.lit(0.0)).alias("_total"))
+        return (
+            nodes.join(raw, "uuid", "left")
+            .crossJoin(F.broadcast(total))
+            .withColumn(
+                out_col,
+                F.when(
+                    F.col("_total") > 0,
+                    F.round(F.coalesce("_raw", F.lit(0.0)) / F.col("_total"), round_dp),
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop("_raw", "_total")
+            .localCheckpoint(eager=True)
+        )
+
+    auth = None
+    for _ in range(n_iter):
+        auth = _half_step(hub, "hub", "src", "dst", "authority")
+        hub = _half_step(auth, "authority", "dst", "src", "hub")
+    return nodes.join(hub.select("uuid", "hub"), "uuid").join(
+        auth.select("uuid", "authority"), "uuid"
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    deg_cap: int | None = 1000,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores for non-adjacent node pairs:
+    (uuid_a, uuid_b, score) with score = sum over common neighbors z of
+    1 / ln(deg(z)), uuid_a < uuid_b, existing edges anti-joined away.
+
+    `deg_cap` drops intermediates with degree > cap BEFORE the wedge join —
+    the skew guard (a hub's wedge fan-out is deg^2) and the information
+    argument coincide: 1/ln(deg) of a super-hub is negligible. Degree-1
+    intermediates can't form wedges; degree computation precedes the cap so
+    the cap never changes surviving z's weights. `top_k` orders by
+    (score desc, uuid_a, uuid_b) — rounding to 6dp happens BEFORE ranking so
+    the cut is reproducible across engines."""
+    ue = undirected_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    adj = ue.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
+        ue.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    inter = deg.filter(F.col("deg") >= 2)
+    if deg_cap is not None:
+        inter = inter.filter(F.col("deg") <= deg_cap)
+    wadj = adj.join(inter.withColumn("w", 1.0 / F.log("deg")).select("z", "w"), "z")
+    left = wadj.select("z", F.col("x").alias("uuid_a"), "w")
+    right = wadj.select("z", F.col("x").alias("uuid_b"))
+    pairs = (
+        left.join(right, "z")
+        .filter(F.col("uuid_a") < F.col("uuid_b"))
+        .groupBy("uuid_a", "uuid_b")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    non_adj = pairs.join(
+        ue.select(F.col("a").alias("uuid_a"), F.col("b").alias("uuid_b")),
+        ["uuid_a", "uuid_b"],
+        "left_anti",
+    )
+    if top_k is not None:
+        non_adj = non_adj.orderBy(
+            F.col("score").desc(), F.col("uuid_a"), F.col("uuid_b")
+        ).limit(top_k)
+    return non_adj
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    sample_size: int = 50,
+    max_depth: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Sampled harmonic centrality: (uuid, harmonic) with
+    harmonic(v) = (1/(m-1)) * sum over sampled sources s != v of 1/d(s, v)
+    (unreachable pairs contribute 0 — the property that makes harmonic the
+    right closeness variant on disconnected graphs). Sources are the
+    lexicographically first `sample_size` nodes (the betweenness sampling
+    convention); one multi-source BFS total."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).dropDuplicates(
+        ["src", "dst"]
+    )
+    g = e if directed else e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    g = g.localCheckpoint(eager=True)
+    nodes = (
+        g.select(F.col("src").alias("uuid"))
+        .unionByName(g.select(F.col("dst").alias("uuid")))
+        .dropDuplicates(["uuid"])
+        .localCheckpoint(eager=True)
+    )
+    sample = [r["uuid"] for r in nodes.orderBy("uuid").limit(sample_size).collect()]
+    m = len(sample)
+    if m < 2:
+        return nodes.withColumn("harmonic", F.lit(0.0))
+    dist = multi_source_bfs(g, sample, max_depth)
+    credit = (
+        dist.filter(F.col("depth") > 0)
+        .groupBy("uuid")
+        .agg(F.sum(1.0 / F.col("depth")).alias("_raw"))
+    )
+    return (
+        nodes.join(credit, "uuid", "left")
+        .withColumn(
+            "harmonic",
+            F.round(F.coalesce("_raw", F.lit(0.0)) / F.lit(float(m - 1)), 6),
+        )
+        .drop("_raw")
+    )

@@ -1,0 +1,140 @@
+"""Hand-computed cases for analytics/graph_metrics.py (triangles/LCC, HITS,
+Adamic-Adar, harmonic centrality). Every expectation below is derived in the
+comments, never from engine output."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.analytics.graph_metrics import (
+    adamic_adar,
+    harmonic_centrality,
+    hits,
+    triangle_counts,
+    undirected_edges,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([(a, b) for a, b in pairs], "src string, dst string")
+
+
+def test_undirected_edges_canonicalizes(spark):
+    # duplicates in both orientations + a self-loop collapse to 2 edges
+    e = _edges(spark, [("b", "a"), ("a", "b"), ("a", "a"), ("b", "c"), ("c", "b")])
+    got = sorted(tuple(r) for r in undirected_edges(e).collect())
+    assert got == [("a", "b"), ("b", "c")]
+
+
+def test_triangle_counts_hand_case(spark):
+    # Graph: a-b, b-c, a-c, c-d, d-e, e-c, a-d.
+    # Degrees: a=3 (b,c,d), b=2, c=4 (a,b,d,e), d=3 (c,e,a), e=2.
+    # Triangles: {a,b,c}, {a,c,d}, {c,d,e}  -> per-node a=2, b=1, c=3, d=2, e=1.
+    # LCC: a: 2*2/(3*2)=0.666667; b: 2*1/2=1.0; c: 2*3/(4*3)=0.5;
+    #      d: 0.666667; e: 1.0.
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("e", "c"), ("a", "d")],
+    )
+    rows = {r["uuid"]: r for r in triangle_counts(e).collect()}
+    assert {u: r["triangles"] for u, r in rows.items()} == {
+        "a": 2, "b": 1, "c": 3, "d": 2, "e": 1,
+    }
+    assert rows["a"]["lcc"] == pytest.approx(0.666667)
+    assert rows["b"]["lcc"] == pytest.approx(1.0)
+    assert rows["c"]["lcc"] == pytest.approx(0.5)
+    assert rows["e"]["lcc"] == pytest.approx(1.0)
+
+
+def test_triangle_counts_triangle_free_graph_all_zero(spark):
+    # a star has no triangles; hub degree 3, spokes degree 1 (lcc 0 by the
+    # degree<2 rule)
+    e = _edges(spark, [("h", "x"), ("h", "y"), ("h", "z")])
+    rows = {r["uuid"]: r for r in triangle_counts(e).collect()}
+    assert all(r["triangles"] == 0 for r in rows.values())
+    assert rows["h"]["lcc"] == 0.0 and rows["x"]["lcc"] == 0.0
+
+
+def test_hits_hand_case_two_iterations(spark):
+    # Edges a->c, b->c, c->d (n=4, L1 norm, 6dp per half-step).
+    # hub0 = 0.25 each.
+    # it1: auth raw c=0.5, d=0.25, total 0.75 -> auth c=0.666667, d=0.333333.
+    #      hub raw a=b=0.666667, c=0.333333, total 1.666667
+    #      -> hub a=b=0.4, c=0.2, d=0.
+    # it2: auth raw c=0.8, d=0.2 -> auth c=0.8, d=0.2.
+    #      hub raw a=b=0.8, c=0.2, total 1.8 -> hub a=b=0.444444, c=0.111111.
+    e = _edges(spark, [("a", "c"), ("b", "c"), ("c", "d")])
+    rows = {r["uuid"]: r for r in hits(e, n_iter=2).collect()}
+    assert rows["a"]["hub"] == pytest.approx(0.444444)
+    assert rows["b"]["hub"] == pytest.approx(0.444444)
+    assert rows["c"]["hub"] == pytest.approx(0.111111)
+    assert rows["d"]["hub"] == 0.0
+    assert rows["c"]["authority"] == pytest.approx(0.8)
+    assert rows["d"]["authority"] == pytest.approx(0.2)
+    assert rows["a"]["authority"] == 0.0
+
+
+def test_hits_l1_normalized(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    out = hits(e, n_iter=10).collect()
+    assert sum(r["hub"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["authority"] for r in out) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_adamic_adar_hand_case(spark):
+    # Edges: a-z, b-z, a-y, b-y, b-c.
+    # Degrees: z=2, y=2, a=2, b=3, c=1.
+    # Wedges by intermediate: z:{a,b} and y:{a,b} -> (a,b) twice;
+    # a:{z,y} -> (y,z); b:{z,y,c} -> (y,z), (c,y), (c,z); c: deg 1, none.
+    # So (a,b) = 2/ln2 = 2.885390; (y,z) = 1/ln2 + 1/ln3 = 2.352934;
+    # (c,y) = (c,z) = 1/ln3 = 0.910239. All four are non-adjacent.
+    e = _edges(spark, [("a", "z"), ("b", "z"), ("a", "y"), ("b", "y"), ("b", "c")])
+    got = {(r["uuid_a"], r["uuid_b"]): r["score"] for r in adamic_adar(e).collect()}
+    assert got[("a", "b")] == pytest.approx(round(2 / math.log(2), 6))
+    assert got[("y", "z")] == pytest.approx(round(1 / math.log(2) + 1 / math.log(3), 6))
+    assert got[("c", "y")] == pytest.approx(round(1 / math.log(3), 6))
+    assert set(got) == {("a", "b"), ("y", "z"), ("c", "y"), ("c", "z")}
+
+
+def test_adamic_adar_deg_cap_drops_hub_intermediate(spark):
+    # same graph, cap 2: b (deg 3) is no longer an intermediate ->
+    # (y,z) falls to 1/ln2 via a alone; the (·,c) pairs vanish.
+    e = _edges(spark, [("a", "z"), ("b", "z"), ("a", "y"), ("b", "y"), ("b", "c")])
+    got = {(r["uuid_a"], r["uuid_b"]): r["score"] for r in adamic_adar(e, deg_cap=2).collect()}
+    assert set(got) == {("a", "b"), ("y", "z")}
+    assert got[("y", "z")] == pytest.approx(round(1 / math.log(2), 6))
+
+
+def test_adamic_adar_top_k_deterministic_cut(spark):
+    e = _edges(spark, [("a", "z"), ("b", "z"), ("a", "y"), ("b", "y"), ("b", "c")])
+    got = [(r["uuid_a"], r["uuid_b"]) for r in adamic_adar(e, top_k=2).collect()]
+    # (a,b)=2.885390 then (y,z)=2.352934
+    assert got == [("a", "b"), ("y", "z")]
+
+
+def test_harmonic_centrality_path_graph(spark):
+    # path a-b-c (undirected, all 3 nodes sampled, m=3):
+    # h(a) = (1/1 + 1/2)/2 = 0.75, h(b) = (1+1)/2 = 1.0, h(c) = 0.75
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    rows = {r["uuid"]: r["harmonic"] for r in harmonic_centrality(e).collect()}
+    assert rows == {"a": 0.75, "b": 1.0, "c": 0.75}
+
+
+def test_harmonic_centrality_disconnected_contributes_zero(spark):
+    # two components: a-b and c-d. For a: only b reachable -> 1/(m-1) = 1/3.
+    e = _edges(spark, [("a", "b"), ("c", "d")])
+    rows = {r["uuid"]: r["harmonic"] for r in harmonic_centrality(e).collect()}
+    assert rows["a"] == pytest.approx(round(1 / 3, 6))
+    assert rows["c"] == pytest.approx(round(1 / 3, 6))
+
+
+def test_harmonic_centrality_directed(spark):
+    # directed chain a->b->c: only forward distances count.
+    # sources = all 3. credit(b): from a at d=1 -> 1.0/2 = 0.5
+    # credit(c): from b at 1, from a at 2 -> (1 + 0.5)/2 = 0.75; credit(a)=0
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    rows = {r["uuid"]: r["harmonic"] for r in harmonic_centrality(e, directed=True).collect()}
+    assert rows == {"a": 0.0, "b": 0.5, "c": 0.75}
