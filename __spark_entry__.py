@@ -1155,6 +1155,23 @@ def _q_harmonic_hosts(spark, sf_dir):
     return out.select(F.col("uuid").alias("host"), "harmonic")
 
 
+def _q_span_dedup(spark, sf_dir):
+    """Exact repeated-span dedup (Lee et al. ExactSubstr, k-gram form,
+    datapipe/spandedup.py): every token covered by a duplicated 8-token
+    window is removed except the globally-first occurrence. Oracle: full
+    SQL restatement (gram explode, keeper = (min doc, min pos), covered
+    positions via a k-wide expansion join, ordered string_agg)."""
+    from graphiti_spark.datapipe.spandedup import repeated_span_dedup
+
+    out = repeated_span_dedup(_t(spark, sf_dir, "documents"), k=8)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "text_dedup",
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     from graphiti_spark.datapipe.sampling import stratified_sample
 
@@ -1418,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "neardup_keep_canonical": _q_neardup_keep_canonical,
+        "span_dedup": _q_span_dedup,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "semdedup_survivors": _q_semdedup_survivors,
         # --- similarity search ---
@@ -2000,6 +2018,38 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(in_hosts, 0) AS in_hosts,
                    coalesce(self_links, 0) AS self_links
             FROM o FULL OUTER JOIN i ON o.host = i.host
+        """,
+        "span_dedup": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            g AS MATERIALIZED (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS gram
+              FROM (SELECT doc_id, tk,
+                      unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS i
+                    FROM tok)),
+            s AS MATERIALIZED (SELECT gram, count(*) AS cnt, min(doc_id) AS kd
+                               FROM g GROUP BY gram),
+            kp AS (SELECT g.gram, min(g.pos) AS kpos
+                   FROM g JOIN s ON g.gram = s.gram AND g.doc_id = s.kd
+                   WHERE s.cnt >= 2 GROUP BY g.gram),
+            dup AS (SELECT g.doc_id, g.pos
+                    FROM g JOIN s USING (gram) JOIN kp USING (gram)
+                    WHERE s.cnt >= 2 AND NOT (g.doc_id = s.kd AND g.pos = kp.kpos)),
+            covpos AS (SELECT DISTINCT d.doc_id, d.pos + u.g AS p
+                       FROM dup d, generate_series(0, 7) u(g)),
+            tokpos AS (SELECT doc_id, unnest(tk) AS token,
+                              generate_subscripts(tk, 1) - 1 AS p FROM tok),
+            res AS (SELECT t.doc_id, count(*) AS n_tokens,
+                           count(cv.p) AS n_removed,
+                           coalesce(string_agg(CASE WHEN cv.p IS NULL THEN t.token END,
+                                               ' ' ORDER BY t.p), '') AS text_dedup
+                    FROM tokpos t LEFT JOIN covpos cv
+                      ON t.doc_id = cv.doc_id AND t.p = cv.p
+                    GROUP BY t.doc_id)
+            SELECT d.doc_id, coalesce(res.n_tokens, 0) AS n_tokens,
+                   coalesce(res.n_removed, 0) AS n_removed,
+                   coalesce(res.text_dedup, '') AS text_dedup
+            FROM documents d LEFT JOIN res ON d.doc_id = res.doc_id
         """,
         "triangle_counts": """
             WITH ue AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
