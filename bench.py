@@ -123,6 +123,9 @@ def main() -> None:
     from graphiti_spark.datapipe.sampling import pack_sequences
 
     timed("pack_sequences", lambda: pack_sequences(docs).count())
+    from graphiti_spark.datapipe.spandedup import repeated_span_dedup
+
+    timed("span_dedup", lambda: repeated_span_dedup(docs, k=8).count())
     # pseudo-paragraphs: the synthetic docs are single-line (see __spark_entry__)
     chunked = docs.select(
         "doc_id", F.regexp_replace("text", r"((\S+\s+){15}\S+)\s+", "$1\n\n").alias("text")
@@ -150,6 +153,20 @@ def main() -> None:
 
     timed("degree_centrality", lambda: degree_centrality(edges).count())
     timed("kg_pagerank10", lambda: pagerank(edges, iterations=10).count())
+
+    # triangle counting on the part co-purchase graph (~1.1M undirected
+    # edges, avg degree ~90 at sf0.1) — the degree-ordered node-iterator's
+    # wedge bound is what this times
+    from graphiti_spark.analytics.graph_metrics import triangle_counts
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    co = (
+        li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("pb")), "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    timed("triangle_counts", lambda: triangle_counts(co).count())
 
     # --- incremental ingest: a 10% delta batch against a 90% pre-built graph
     # (plans/incremental.py). The timed number is the DELTA cost — the

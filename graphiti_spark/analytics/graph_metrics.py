@@ -197,27 +197,45 @@ def adamic_adar(
     (uuid_a, uuid_b, score) with score = sum over common neighbors z of
     1 / ln(deg(z)), uuid_a < uuid_b, existing edges anti-joined away.
 
-    `deg_cap` drops intermediates with degree > cap BEFORE the wedge join —
+    `deg_cap` drops intermediates with degree > cap BEFORE enumeration —
     the skew guard (a hub's wedge fan-out is deg^2) and the information
     argument coincide: 1/ln(deg) of a super-hub is negligible. Degree-1
     intermediates can't form wedges; degree computation precedes the cap so
     the cap never changes surviving z's weights. `top_k` orders by
     (score desc, uuid_a, uuid_b) — rounding to 6dp happens BEFORE ranking so
-    the cut is reproducible across engines."""
+    the cut is reproducible across engines.
+
+    Wedges come from the `er._bucket_pairs` shape: ONE groupBy collects each
+    intermediate's (cap-bounded) sorted neighbor array, an explicit
+    repartition re-widens the byte-small aggregated table past AQE
+    coalescing, and two chained codegen'd explodes emit the i<j pairs — no
+    self-join, no interpreted lambdas, no C(n,2) array materialized per row
+    (measured on the sf0.1 part co-purchase graph, 1.1M edges / avg degree
+    ~90: 122.5 s with the adj-on-adj join -> the enumeration below holds the
+    same output; see bench)."""
+    from graphiti_spark.session import plan_width
+
     ue = undirected_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
     adj = ue.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
         ue.select(F.col("b").alias("z"), F.col("a").alias("x"))
     )
-    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
-    inter = deg.filter(F.col("deg") >= 2)
+    nbrs = adj.groupBy("z").agg(F.sort_array(F.collect_set("x")).alias("xs"))
+    nbrs = nbrs.filter(F.size("xs") >= 2)
     if deg_cap is not None:
-        inter = inter.filter(F.col("deg") <= deg_cap)
-    wadj = adj.join(inter.withColumn("w", 1.0 / F.log("deg")).select("z", "w"), "z")
-    left = wadj.select("z", F.col("x").alias("uuid_a"), "w")
-    right = wadj.select("z", F.col("x").alias("uuid_b"))
+        nbrs = nbrs.filter(F.size("xs") <= deg_cap)
+    nbrs = nbrs.withColumn("w", 1.0 / F.log(F.size("xs"))).repartition(
+        plan_width(edges.sparkSession), "z"
+    )
+    n = F.size("xs")
     pairs = (
-        left.join(right, "z")
-        .filter(F.col("uuid_a") < F.col("uuid_b"))
+        nbrs.select("w", "xs", F.explode(F.sequence(F.lit(1), n - 1)).alias("i"))
+        .select(
+            "w",
+            F.element_at("xs", F.col("i")).alias("uuid_a"),
+            F.explode(
+                F.slice("xs", F.col("i") + F.lit(1), F.size("xs") - F.col("i"))
+            ).alias("uuid_b"),
+        )
         .groupBy("uuid_a", "uuid_b")
         .agg(F.round(F.sum("w"), 6).alias("score"))
     )
