@@ -1172,6 +1172,37 @@ def _q_span_dedup(spark, sf_dir):
     )
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary learning (datapipe/bpe.py): merges learned
+    over the distinct-word frequency table, 16 rounds, lexicographic
+    tie-break. Iterative driver-loop algorithm — no SQL twin; golden-pinned
+    (semantic ground truth is the hand-derived Sennrich classic corpus in
+    tests/test_bpe.py)."""
+    from graphiti_spark.datapipe.bpe import learn_bpe
+
+    merges, _ = learn_bpe(_t(spark, sf_dir, "documents"), n_merges=16)
+    return spark.createDataFrame(
+        [(i, l, r, pc) for i, (l, r, pc) in enumerate(merges)],
+        "step long, left string, right string, pair_count long",
+    )
+
+
+def _q_bpe_segment_stats(spark, sf_dir):
+    """Corpus-side application of the learned BPE segmentation: per-doc word
+    and subword counts via a broadcast vocab join (the corpus never shuffles
+    on the word key). Golden-pinned with bpe_merges."""
+    from graphiti_spark.datapipe.bpe import bpe_segment_stats, learn_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    _, seqs = learn_bpe(docs, n_merges=16)
+    out = bpe_segment_stats(docs, seqs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     from graphiti_spark.datapipe.sampling import stratified_sample
 
@@ -1436,6 +1467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "neardup_keep_canonical": _q_neardup_keep_canonical,
         "span_dedup": _q_span_dedup,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_segment_stats": _q_bpe_segment_stats,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "semdedup_survivors": _q_semdedup_survivors,
         # --- similarity search ---
@@ -1511,6 +1544,10 @@ def oracle_sql() -> dict[str, str]:
             "kg_message_edges",
             "kg_json_edges",
             "kg_pages",
+            # iterative BPE learning has no SQL twin (driver-loop top-1 per
+            # round); semantic truth = hand-derived fixtures in test_bpe.py
+            "bpe_merges",
+            "bpe_segment_stats",
         )
     }
     lang_score = lambda words: f"len(list_filter({_TOKS}, t -> t IN ({words})))"

@@ -39,6 +39,8 @@ GOLDEN_QUERIES = [
     "kg_message_edges",
     "kg_json_edges",
     "kg_pages",
+    "bpe_merges",
+    "bpe_segment_stats",
 ]
 
 
@@ -61,12 +63,15 @@ def main() -> int:
     from graphiti_spark.session import get_spark
 
     check = "--check" in sys.argv
+    only = {a for a in sys.argv[1:] if not a.startswith("-")}
     spark = get_spark(app_name="make_goldens", extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     rc = 0
     for name in GOLDEN_QUERIES:
+        if only and name not in only:
+            continue
         pdf = qs[name](spark, SF_DIR).toPandas()
         cols = sorted(pdf.columns)
         pdf = pdf[cols].sort_values(cols).reset_index(drop=True)
