@@ -159,3 +159,57 @@ def test_plan_contamination_broadcasts_eval_grams(spark):
     docs = _curation_docs(spark)
     plan = _plan(contamination_report(docs, docs.limit(3), n=2))
     assert "BroadcastHashJoin" in plan
+
+
+def test_plan_span_dedup_shapes(spark):
+    from graphiti_spark.datapipe.spandedup import repeated_span_dedup
+
+    plan = _plan(repeated_span_dedup(_curation_docs(spark), k=3))
+    # gram stats must combine map-side (hot boilerplate grams collapse
+    # before the exchange) and nothing may degenerate to a cross product
+    assert "partial_count" in plan and "CartesianProduct" not in plan
+    # the coverage window is per-document, never a corpus-wide sort:
+    # every Window operator's partition spec carries doc_id
+    for frag in plan.split("Window [")[1:]:
+        assert "doc_id" in frag.split("\n")[0]
+
+
+def test_plan_bpe_segment_broadcasts_vocab(spark):
+    from graphiti_spark.datapipe.bpe import bpe_segment_stats, learn_bpe
+
+    docs = _curation_docs(spark)
+    _, seqs = learn_bpe(docs, n_merges=2)
+    plan = _plan(bpe_segment_stats(docs, seqs))
+    # the corpus joins the broadcast vocab table; it must not shuffle on
+    # the word key
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(word" not in plan
+
+
+def test_plan_adamic_adar_enumerates_without_self_join(spark):
+    from graphiti_spark.analytics.graph_metrics import adamic_adar
+
+    e = _curation_docs(spark).select(
+        (F.col("doc_id") % 11).cast("string").alias("src"),
+        (F.col("doc_id") % 7).cast("string").alias("dst"),
+    )
+    plan = _plan(adamic_adar(e, top_k=10))
+    # wedge pairs come from two chained generators over the collected
+    # neighbor arrays (the er._bucket_pairs shape) — no adj-on-adj join,
+    # no cross product; the only join is the final anti vs existing edges
+    assert plan.count("Generate explode") >= 2
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_plan_triangle_counts_equi_joins_only(spark):
+    from graphiti_spark.analytics.graph_metrics import triangle_counts
+
+    e = _curation_docs(spark).select(
+        (F.col("doc_id") % 13).cast("string").alias("src"),
+        (F.col("doc_id") % 5).cast("string").alias("dst"),
+    )
+    plan = _plan(triangle_counts(e))
+    # wedge closing is an equi-join on (x, y); orientation guarantees one
+    # probe direction, so no cross product may appear anywhere
+    assert "CartesianProduct" not in plan
