@@ -136,6 +136,38 @@ _HOST_LINKS_CTES = f"""
               WHERE dst_url IS NOT NULL)"""
 
 
+def _k_core_sql(k: int = 80, rounds: int = 10) -> str:
+    """Unrolled-peel twin of graph_metrics.k_core on the part co-purchase
+    graph: each round recomputes degrees and anti-joins the below-k set
+    away. Spark peels to convergence; any unrolled round past convergence
+    is a no-op, so fixed depth >= convergence replays the fixpoint.
+    MATERIALIZED throughout (plain CTE inlining would re-expand each level
+    at every reference)."""
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                   greatest(a.l_partkey, b.l_partkey) AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (SELECT uuid, count(*) AS deg FROM
+                (SELECT a AS uuid FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1})
+                GROUP BY uuid),
+            bad{i} AS MATERIALIZED (SELECT uuid FROM d{i} WHERE deg < {k}),
+            e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i - 1} e
+                LEFT JOIN bad{i} x ON e.a = x.uuid
+                LEFT JOIN bad{i} y ON e.b = y.uuid
+                WHERE x.uuid IS NULL AND y.uuid IS NULL)"""
+        )
+    body = ",\n            ".join(parts)
+    return f"""{body}
+            SELECT uuid AS part, count(*) AS core_degree FROM
+              (SELECT a AS uuid FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+            GROUP BY uuid"""
+
+
 def _hits_hosts_sql(n_iter: int = 10) -> str:
     """Unrolled-CTE twin of graph_metrics.hits over the host link graph:
     init hub = round(1/n, 6), then per iteration one authority half-step and
@@ -1172,6 +1204,21 @@ def _q_span_dedup(spark, sf_dir):
     )
 
 
+def _q_k_core_parts(spark, sf_dir):
+    """80-core of the part co-purchase graph (5 peel rounds at sf0.01,
+    1857-node core — a real cascade, hand-probed). Spark peels to
+    convergence; the oracle unrolls 10 fixed rounds (a round past
+    convergence is a no-op, so fixed depth >= convergence replays the
+    fixpoint exactly)."""
+    from graphiti_spark.analytics.graph_metrics import k_core
+
+    out = k_core(_coorder_part_graph(spark, sf_dir), k=80, max_rounds=10)
+    return out.select(
+        F.col("uuid").cast("long").alias("part"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
+
+
 def _q_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary learning (datapipe/bpe.py): merges learned
     over the distinct-word frequency table, 16 rounds, lexicographic
@@ -1496,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- graph metrics beyond the reference's centrality set ---
         "triangle_counts": _q_triangle_counts,
         "adamic_adar_parts": _q_adamic_adar_parts,
+        "k_core_parts": _q_k_core_parts,
         "stratified_sample": _q_stratified_sample,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
@@ -2128,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, uuid_a, uuid_b LIMIT 100
         """,
         "hits_hosts": _hits_hosts_sql(10),
+        "k_core_parts": _k_core_sql(80, 10),
         "harmonic_hosts": f"""
             WITH RECURSIVE {_HOST_LINKS_CTES},
             e0 AS (SELECT DISTINCT src_host AS u, dst_host AS v FROM hlinks),

@@ -251,6 +251,50 @@ def adamic_adar(
     return non_adj
 
 
+def k_core(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 2,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """The k-core of the undirected graph: iteratively peel nodes of degree
+    < k until none remain; returns (uuid, core_degree) for the surviving
+    subgraph (core_degree = degree within the core, >= k by construction).
+    The standard cohesion filter for web/entity graphs — dense cores
+    survive, pendant chains cascade away.
+
+    Cost shape: each peel round is one algebraic degree aggregation + two
+    anti-joins against the (typically small, AQE-broadcast) peeled set; the
+    edge set only shrinks. Convergence needs a per-round driver check
+    (isEmpty) — inherent to peeling; rounds are data-dependent but bounded
+    by `max_rounds` (real graphs converge in a handful: degree cascades
+    flatten exponentially). A round past convergence is a no-op, which is
+    what lets the fixed-depth unrolled SQL oracle replay it exactly."""
+    ue = undirected_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = (
+            ue.select(F.col("a").alias("uuid"))
+            .unionByName(ue.select(F.col("b").alias("uuid")))
+            .groupBy("uuid")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        bad = deg.filter(F.col("deg") < k).select("uuid").localCheckpoint(eager=True)
+        if bad.isEmpty():
+            break
+        ue = (
+            ue.join(bad.select(F.col("uuid").alias("a")), "a", "left_anti")
+            .join(bad.select(F.col("uuid").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ue.select(F.col("a").alias("uuid"))
+        .unionByName(ue.select(F.col("b").alias("uuid")))
+        .groupBy("uuid")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
 def harmonic_centrality(
     edges: DataFrame,
     src_col: str = "src",

@@ -138,3 +138,30 @@ def test_harmonic_centrality_directed(spark):
     e = _edges(spark, [("a", "b"), ("b", "c")])
     rows = {r["uuid"]: r["harmonic"] for r in harmonic_centrality(e, directed=True).collect()}
     assert rows == {"a": 0.0, "b": 0.5, "c": 0.75}
+
+
+def test_k_core_pendant_peeled_triangle_survives(spark):
+    # triangle a-b-c with pendant d on a: k=2 peels d in one round; the
+    # triangle survives with core degree 2 everywhere.
+    from graphiti_spark.analytics.graph_metrics import k_core
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")])
+    got = {r["uuid"]: r["core_degree"] for r in k_core(e, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_chain_cascades_to_empty(spark):
+    # path a-b-c-d under k=2: endpoints peel, then the remainder cascades
+    # (round 1 drops a,d; round 2 drops b,c) -> empty core.
+    from graphiti_spark.analytics.graph_metrics import k_core
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert k_core(e, k=2).count() == 0
+
+
+def test_k_core_k1_keeps_every_non_isolated_node(spark):
+    from graphiti_spark.analytics.graph_metrics import k_core
+
+    e = _edges(spark, [("a", "b"), ("c", "d")])
+    got = {r["uuid"]: r["core_degree"] for r in k_core(e, k=1).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 1}
