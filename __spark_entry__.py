@@ -1219,6 +1219,23 @@ def _q_k_core_parts(spark, sf_dir):
     )
 
 
+def _q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization rollup over the events stream (4h gap;
+    operators/sessions.py): one per-user window + one algebraic agg.
+    Oracle: the identical window/rollup in DuckDB SQL."""
+    from graphiti_spark.operators.sessions import session_summary
+
+    out = session_summary(_t(spark, sf_dir, "events"), gap_sec=14400)
+    return out.select(
+        "user",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "start_us",
+        "end_us",
+        "duration_sec",
+    )
+
+
 def _q_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary learning (datapipe/bpe.py): merges learned
     over the distinct-word frequency table, 16 rounds, lexicographic
@@ -1544,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangle_counts,
         "adamic_adar_parts": _q_adamic_adar_parts,
         "k_core_parts": _q_k_core_parts,
+        "event_sessions": _q_event_sessions,
         "stratified_sample": _q_stratified_sample,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
@@ -2177,6 +2195,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits_hosts": _hits_hosts_sql(10),
         "k_core_parts": _k_core_sql(80, 10),
+        "event_sessions": """
+            WITH s AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > CAST(14400 AS BIGINT) * 1000000
+                     THEN 1 ELSE 0 END AS ns
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+            x AS (
+              SELECT user_id, ts,
+                CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                  AS session_idx
+              FROM s)
+            SELECT user_id AS user, session_idx, count(*) AS n_events,
+                   min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+                   round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 6)
+                     AS duration_sec
+            FROM x GROUP BY user_id, session_idx
+        """,
         "harmonic_hosts": f"""
             WITH RECURSIVE {_HOST_LINKS_CTES},
             e0 AS (SELECT DISTINCT src_host AS u, dst_host AS v FROM hlinks),
