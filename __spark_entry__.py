@@ -168,6 +168,49 @@ def _k_core_sql(k: int = 80, rounds: int = 10) -> str:
             GROUP BY uuid"""
 
 
+def _ppr_hosts_sql(n_iter: int = 10) -> str:
+    """Unrolled-CTE twin of centrality.personalized_pagerank on the host
+    graph: seeds = two lexicographically-first hosts, ranks start at the
+    seed distribution, 9dp per-iteration rounding (the HITS convention).
+    `(1.0 - 0.85)` is written as the expression, not the literal 0.15 —
+    Python's 1.0-0.85 is one ulp off the 0.15 double, and the twin must
+    replay the identical arithmetic."""
+    parts = [
+        f"""WITH {_HOST_LINKS_CTES},
+            e AS MATERIALIZED (SELECT DISTINCT src_host AS src, dst_host AS dst
+                  FROM hlinks WHERE src_host <> dst_host),
+            n AS MATERIALIZED (SELECT src AS uuid FROM e UNION SELECT dst FROM e),
+            sd AS MATERIALIZED (
+              SELECT n.uuid,
+                     CASE WHEN s.uuid IS NOT NULL THEN 1.0 / 2 ELSE 0.0 END AS seed
+              FROM n LEFT JOIN (SELECT uuid FROM n ORDER BY uuid LIMIT 2) s
+                ON n.uuid = s.uuid),
+            od AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            dang AS MATERIALIZED (SELECT n.uuid FROM n LEFT JOIN od ON n.uuid = od.src
+                                  WHERE od.src IS NULL),
+            r0 AS MATERIALIZED (SELECT uuid, round(seed, 9) AS rank FROM sd)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+              SELECT e.dst AS uuid, sum(r.rank / od.out_deg) AS contrib
+              FROM e JOIN r{i - 1} r ON e.src = r.uuid JOIN od ON e.src = od.src
+              GROUP BY e.dst),
+            g{i} AS MATERIALIZED (
+              SELECT coalesce(sum(r.rank), 0.0) AS dg
+              FROM r{i - 1} r JOIN dang ON r.uuid = dang.uuid),
+            r{i} AS MATERIALIZED (
+              SELECT sd.uuid,
+                     round((1.0 - 0.85) * sd.seed
+                           + 0.85 * (coalesce(c.contrib, 0.0) + g.dg * sd.seed),
+                           9) AS rank
+              FROM sd LEFT JOIN c{i} c ON sd.uuid = c.uuid CROSS JOIN g{i} g)"""
+        )
+    body = ",\n            ".join(parts)
+    return f"""{body}
+            SELECT uuid AS host, round(rank, 6) AS ppr FROM r{n_iter}"""
+
+
 def _hits_hosts_sql(n_iter: int = 10) -> str:
     """Unrolled-CTE twin of graph_metrics.hits over the host link graph:
     init hub = round(1/n, 6), then per iteration one authority half-step and
@@ -1219,6 +1262,27 @@ def _q_k_core_parts(spark, sf_dir):
     )
 
 
+def _q_ppr_hosts(spark, sf_dir):
+    """Personalized PageRank over the host link graph, seeded at the two
+    lexicographically-first hosts (both engines derive the seed set the
+    same way). Unlike kg_pagerank (golden-pinned), this PageRank-family
+    fixpoint is verified against an INDEPENDENT unrolled-CTE DuckDB replay
+    — 10 iterations, 9dp per-iteration rounding."""
+    from graphiti_spark.analytics.centrality import personalized_pagerank
+
+    e = _host_edges(spark, sf_dir).filter(F.col("src") != F.col("dst")).dropDuplicates()
+    nodes = (
+        e.select(F.col("src").alias("uuid"))
+        .unionByName(e.select(F.col("dst").alias("uuid")))
+        .dropDuplicates()
+    )
+    seeds = [r["uuid"] for r in nodes.orderBy("uuid").limit(2).collect()]
+    out = personalized_pagerank(
+        e, seeds, src_col="src", dst_col="dst", iterations=10
+    )
+    return out.select(F.col("uuid").alias("host"), F.round("ppr", 6).alias("ppr"))
+
+
 def _q_event_sessions(spark, sf_dir):
     """Gap-based sessionization rollup over the events stream (4h gap;
     operators/sessions.py): one per-user window + one algebraic agg.
@@ -1562,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_parts": _q_adamic_adar_parts,
         "k_core_parts": _q_k_core_parts,
         "event_sessions": _q_event_sessions,
+        "ppr_hosts": _q_ppr_hosts,
         "stratified_sample": _q_stratified_sample,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
@@ -2194,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, uuid_a, uuid_b LIMIT 100
         """,
         "hits_hosts": _hits_hosts_sql(10),
+        "ppr_hosts": _ppr_hosts_sql(10),
         "k_core_parts": _k_core_sql(80, 10),
         "event_sessions": """
             WITH s AS (

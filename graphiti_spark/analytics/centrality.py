@@ -138,6 +138,88 @@ def pagerank(
     return ranks.drop("_dangling_node").withColumnRenamed("rank", "pagerank")
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[str],
+    src_col: str = "source_node_uuid",
+    dst_col: str = "target_node_uuid",
+    damping: float = DEFAULT_CONFIG.pagerank_damping,
+    iterations: int = 10,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling) mass returns to the
+    `seeds` set uniformly instead of all nodes — the topic-conditioned
+    authority used for 'relevant to THESE entities' retrieval (the graph
+    twin of the search orchestrator's node_distance reranker; global
+    pagerank is centrality_operations.py:58-156).
+
+        rank' = (1-d)*seed(v) + d*(sum of in-contribs + dangling_mass*seed(v))
+
+    with seed(v) = 1/|seeds| on the seed set, 0 elsewhere; ranks start AT
+    the seed distribution. Ranks are rounded to `round_dp` decimals each
+    iteration — the cross-engine determinism contract that lets the DuckDB
+    oracle replay the fixpoint in unrolled CTEs (the HITS convention).
+    Same cost shape as `pagerank`: one join + one algebraic agg + a
+    broadcast 1-row dangling aggregate per iteration, lineage cut per
+    iteration."""
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).dropDuplicates(
+        ["src", "dst"]
+    )
+    nodes = (
+        e.select(F.col("src").alias("uuid"))
+        .unionByName(e.select(F.col("dst").alias("uuid")))
+        .dropDuplicates(["uuid"])
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e_w = e.join(out_deg, "src").localCheckpoint(eager=True)
+    seed_w = 1.0 / len(seeds)
+    nodes = (
+        nodes.withColumn(
+            "_seed",
+            F.when(F.col("uuid").isin(list(seeds)), F.lit(seed_w)).otherwise(F.lit(0.0)),
+        )
+        .join(
+            out_deg.select(F.col("src").alias("uuid"), F.lit(True).alias("_has_out")),
+            "uuid",
+            "left",
+        )
+        .withColumn("_dangling_node", F.col("_has_out").isNull())
+        .drop("_has_out")
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.round(F.col("_seed"), round_dp))
+    for _ in range(iterations):
+        contribs = (
+            e_w.join(ranks.select(F.col("uuid").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("uuid"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        dangling_df = ranks.filter(F.col("_dangling_node")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
+        )
+        ranks = (
+            nodes.join(contribs, "uuid", "left")
+            .crossJoin(F.broadcast(dangling_df))
+            .withColumn(
+                "rank",
+                F.round(
+                    F.lit(1.0 - damping) * F.col("_seed")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("_dangling") * F.col("_seed")
+                    ),
+                    round_dp,
+                ),
+            )
+            .drop("contrib", "_dangling")
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("uuid", F.col("rank").alias("ppr"))
+
+
 def multi_source_bfs(
     edges: DataFrame,
     sources: list[str],

@@ -165,3 +165,36 @@ def test_k_core_k1_keeps_every_non_isolated_node(spark):
     e = _edges(spark, [("a", "b"), ("c", "d")])
     got = {r["uuid"]: r["core_degree"] for r in k_core(e, k=1).collect()}
     assert got == {"a": 1, "b": 1, "c": 1, "d": 1}
+
+
+def test_personalized_pagerank_hand_case(spark):
+    # edges s->a, a->s, a->x (x dangling), seeds=[s], d=0.85.
+    # r0: s=1. it1: s=0.15, a=0.85, x=0.
+    # it2: s=0.15+0.85*0.425=0.51125, a=0.85*0.15=0.1275, x=0.36125.
+    # it3: dangling x mass (0.36125) teleports to s:
+    #   s = 0.15 + 0.85*(0.06375 + 0.36125) = 0.51125
+    #   a = 0.85*0.51125 = 0.4345625, x = 0.85*0.06375 = 0.0541875.
+    from graphiti_spark.analytics.centrality import personalized_pagerank
+
+    e = spark.createDataFrame(
+        [("s", "a"), ("a", "s"), ("a", "x")],
+        "source_node_uuid string, target_node_uuid string",
+    )
+    got = {
+        r["uuid"]: r["ppr"]
+        for r in personalized_pagerank(e, ["s"], iterations=3).collect()
+    }
+    assert got["s"] == pytest.approx(0.51125)
+    assert got["a"] == pytest.approx(0.4345625)
+    assert got["x"] == pytest.approx(0.0541875)
+    assert sum(got.values()) == pytest.approx(1.0)  # mass conserved
+
+
+def test_personalized_pagerank_requires_seeds(spark):
+    from graphiti_spark.analytics.centrality import personalized_pagerank
+
+    e = spark.createDataFrame(
+        [("s", "a")], "source_node_uuid string, target_node_uuid string"
+    )
+    with pytest.raises(ValueError):
+        personalized_pagerank(e, [])
