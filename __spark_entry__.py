@@ -1471,6 +1471,47 @@ def _q_neardup_keep_canonical(spark, sf_dir):
     return keep_canonical(docs, pairs)
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming first-occurrence exact dedup e2e (streaming/dedup.py):
+    documents streamed through applyInPandasWithState, one emission per
+    newly-seen content hash. Driven as ONE micro-batch here so the emitted
+    keeper is the global min id — exactly SQL-expressible (keeper id is a
+    STRING min: ids are compared lexicographically, mirrored in the twin);
+    multi-batch arrival-order semantics + checkpoint restart are pinned by
+    tests/test_streaming_dedup.py."""
+    import tempfile
+
+    from graphiti_spark.streaming.dedup import dedup_stream
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/docs")
+    stream = spark.readStream.schema("doc_id string, text string").parquet(f"{tmp}/docs")
+    rows: list = []
+    # state-store instances = shuffle partitions; each pays a per-batch
+    # commit fsync, pure fixed cost at this corpus size — bound it for the
+    # correctness run (restored after; a real deployment sizes it to state
+    # volume)
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            dedup_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, e: rows.extend(b.collect()))
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    return spark.createDataFrame(
+        rows, "content_md5 string, keeper_id string, dup_count long"
+    )
+
+
 def _q_streaming_entity_state(spark, sf_dir):
     """Stateful streaming e2e: pages written as 8 files, streamed with
     maxFilesPerTrigger=2 (4 real micro-batches), per-entity running state
@@ -1641,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         # --- stateful streaming (applyInPandasWithState e2e) ---
         "streaming_entity_state": _q_streaming_entity_state,
+        "streaming_dedup": _q_streaming_dedup,
     }
 
 
@@ -2261,6 +2303,12 @@ def oracle_sql() -> dict[str, str]:
         "hits_hosts": _hits_hosts_sql(10),
         "ppr_hosts": _ppr_hosts_sql(10),
         "k_core_parts": _k_core_sql(80, 10),
+        "streaming_dedup": """
+            SELECT md5(text) AS content_md5,
+                   min(CAST(doc_id AS VARCHAR)) AS keeper_id,
+                   count(*) - 1 AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
         "event_sessions": """
             WITH s AS (
               SELECT user_id, ts,
