@@ -280,6 +280,40 @@ _DSIR_WEIGHTS_CTES = f"""
               GROUP BY f.doc_id)"""
 
 
+# Stupid-Backoff perplexity twin (datapipe/lm_quality at min_count=1,
+# alpha=0.4, target = en documents): position explode with context, unigram/
+# bigram count tables from the target slice, backoff CASE, 6dp mean rounding
+# then ppl = 10^(-mean) — independent SQL restatement, same shape discipline
+# as _DSIR_WEIGHTS_CTES.
+_LM_PPL_CTES = f"""
+            rt AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            p AS (SELECT doc_id, pc.prev AS prev, pc.cur AS cur FROM
+                    (SELECT doc_id,
+                            unnest(list_transform(generate_series(1, len(t)),
+                              i -> struct_pack(prev := CASE WHEN i > 1 THEN t[i - 1] ELSE NULL END,
+                                               cur := t[i]))) AS pc
+                     FROM rt)),
+            tp AS (SELECT p.prev, p.cur FROM p JOIN documents USING (doc_id) WHERE lang = 'en'),
+            uni AS (SELECT cur, count(*) AS c FROM tp GROUP BY cur),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni),
+            bim AS (SELECT b.prev, b.cur, CAST(b.cb AS DOUBLE) / u.c AS s_bi FROM
+                      (SELECT prev, cur, count(*) AS cb FROM tp
+                       WHERE prev IS NOT NULL GROUP BY prev, cur) b
+                    JOIN uni u ON b.prev = u.cur),
+            sc AS (SELECT p.doc_id,
+                          log10(CASE WHEN b.s_bi IS NOT NULL THEN b.s_bi
+                                     WHEN p.prev IS NULL
+                                       THEN coalesce(CAST(u.c AS DOUBLE) / tot.n, 1.0 / (tot.n + tot.v))
+                                     ELSE 0.4 * coalesce(CAST(u.c AS DOUBLE) / tot.n, 1.0 / (tot.n + tot.v))
+                                END) AS lp
+                   FROM p LEFT JOIN bim b ON p.prev = b.prev AND p.cur = b.cur
+                          LEFT JOIN uni u ON p.cur = u.cur
+                          CROSS JOIN tot),
+            lm_ppl AS (SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS avg_logprob,
+                              round(pow(10.0, -round(avg(lp), 6)), 4) AS ppl
+                       FROM sc GROUP BY doc_id)"""
+
+
 def _pii_count_sql(kind: str) -> str:
     from graphiti_spark.datapipe.pii import PII_PATTERNS
 
@@ -1095,6 +1129,40 @@ def _q_dsir_sample(spark, sf_dir):
     )
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style Stupid-Backoff bigram LM perplexity (datapipe/
+    lm_quality.py): LM trained on target = en documents, every document
+    scored by mean log10 backoff probability. Oracle: full SQL restatement
+    (position explode, count tables, backoff CASE, rounding)."""
+    from graphiti_spark.datapipe.lm_quality import lm_perplexity, train_backoff_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_backoff_lm(docs.filter("lang = 'en'"))
+    out = lm_perplexity(docs, lm)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_logprob",
+        "ppl",
+    )
+
+
+def _q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split over the perplexity scores: two
+    interpolated-percentile cutoffs (rounded 6dp) + broadcast map-only
+    bucketing. Oracle: quantile_cont twins Spark's percentile."""
+    from graphiti_spark.datapipe.lm_quality import (
+        lm_perplexity,
+        ppl_buckets,
+        train_backoff_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_backoff_lm(docs.filter("lang = 'en'"))
+    out = ppl_buckets(lm_perplexity(docs, lm))
+    return out.select(F.col("id").cast("long").alias("doc_id"), "ppl", "bucket")
+
+
 def _q_kg_pages(spark, sf_dir):
     """Synthetic Common-Crawl-style pages (the input_hint table: url,
     warc_ts, html, lang — text is null pre-extraction and omitted here).
@@ -1671,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
+        "lm_perplexity": _q_lm_perplexity,
+        "ppl_buckets": _q_ppl_buckets,
         "pack_sequences": _q_pack_sequences,
         "ngram_decontam": _q_ngram_decontam,
         "chunk_documents": _q_chunk_documents,
@@ -2136,6 +2206,21 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": f"""
             WITH {_DSIR_WEIGHTS_CTES}
             SELECT doc_id, log_weight FROM dsir_w
+        """,
+        "lm_perplexity": f"""
+            WITH {_LM_PPL_CTES}
+            SELECT doc_id, n_tokens, avg_logprob, ppl FROM lm_ppl
+        """,
+        "ppl_buckets": f"""
+            WITH {_LM_PPL_CTES},
+            cuts AS (SELECT round(quantile_cont(ppl, 0.333333), 6) AS c1,
+                            round(quantile_cont(ppl, 0.666667), 6) AS c2
+                     FROM lm_ppl)
+            SELECT doc_id, ppl,
+                   CASE WHEN ppl <= c1 THEN 'head'
+                        WHEN ppl <= c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM lm_ppl CROSS JOIN cuts
         """,
         "dsir_sample": f"""
             WITH {_DSIR_WEIGHTS_CTES}

@@ -1,0 +1,94 @@
+"""Hand-computed Stupid-Backoff perplexity expectations (datapipe/lm_quality.py).
+
+Training corpus (target): "a b a", "b a"
+  unigram counts a:3 b:2  →  N=5, V=2, OOV floor = 1/7
+  s_uni: a = 3/5 = 0.6, b = 2/5 = 0.4
+  bigram counts (a,b):1 (b,a):2  →  s_bi: (a,b) = 1/3, (b,a) = 2/2 = 1.0
+All expectations below are derived from these counts by hand (math module),
+never from engine output.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+TARGET = [("t1", "a b a"), ("t2", "b a")]
+
+
+def _score(spark, text: str, min_count: int = 1):
+    from graphiti_spark.datapipe.lm_quality import lm_perplexity, train_backoff_lm
+
+    tgt = spark.createDataFrame(TARGET, "doc_id string, text string")
+    lm = train_backoff_lm(tgt, min_count=min_count)
+    docs = spark.createDataFrame([("x", text)], "doc_id string, text string")
+    rows = lm_perplexity(docs, lm).collect()
+    return rows
+
+
+def _expect(logs: list[float]):
+    avg = round(sum(logs) / len(logs), 6)
+    return avg, round(10.0 ** (-avg), 4)
+
+
+def test_all_seen_bigram_path(spark):
+    # "a b a": [uni(a)=0.6, bi(a,b)=1/3, bi(b,a)=1.0]
+    rows = _score(spark, "a b a")
+    avg, ppl = _expect([math.log10(0.6), math.log10(1 / 3), math.log10(1.0)])
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["avg_logprob"] == pytest.approx(avg, abs=1e-9)
+    assert rows[0]["ppl"] == pytest.approx(ppl, abs=1e-9)
+
+
+def test_oov_and_backoff_paths(spark):
+    # "c a c": [floor=1/7, 0.4*uni(a), 0.4*floor] — OOV first position takes
+    # the floor WITHOUT alpha; unseen bigrams back off WITH alpha.
+    rows = _score(spark, "c a c")
+    avg, ppl = _expect(
+        [math.log10(1 / 7), math.log10(0.4 * 0.6), math.log10(0.4 / 7)]
+    )
+    assert rows[0]["avg_logprob"] == pytest.approx(avg, abs=1e-9)
+    assert rows[0]["ppl"] == pytest.approx(ppl, abs=1e-9)
+
+
+def test_min_count_prunes_bigram(spark):
+    # min_count=2 drops (a,b) (count 1) but keeps (b,a) (count 2):
+    # "a b" → [uni(a)=0.6, 0.4*uni(b)=0.16]
+    rows = _score(spark, "a b", min_count=2)
+    avg, ppl = _expect([math.log10(0.6), math.log10(0.16)])
+    assert rows[0]["avg_logprob"] == pytest.approx(avg, abs=1e-9)
+    assert rows[0]["ppl"] == pytest.approx(ppl, abs=1e-9)
+
+
+def test_empty_doc_emits_no_row_and_fluent_beats_gibberish(spark):
+    from graphiti_spark.datapipe.lm_quality import lm_perplexity, train_backoff_lm
+
+    tgt = spark.createDataFrame(TARGET, "doc_id string, text string")
+    lm = train_backoff_lm(tgt)
+    docs = spark.createDataFrame(
+        [("fluent", "b a b a"), ("gibberish", "z q w v"), ("empty", "   ")],
+        "doc_id string, text string",
+    )
+    got = {r["id"]: r for r in lm_perplexity(docs, lm).collect()}
+    assert set(got) == {"fluent", "gibberish"}
+    assert got["fluent"]["ppl"] < got["gibberish"]["ppl"]
+    assert got["gibberish"]["ppl"] > 1.0  # scores are probabilities ≤ 1
+
+
+def test_ppl_buckets_terciles(spark):
+    from graphiti_spark.datapipe.lm_quality import ppl_buckets
+
+    scored = spark.createDataFrame(
+        [(str(i), float(i)) for i in range(1, 7)], "id string, ppl double"
+    )
+    got = {r["id"]: r["bucket"] for r in ppl_buckets(scored).collect()}
+    # cutoffs over [1..6]: c1 = 2.666665, c2 = 4.333335 (hand-interpolated)
+    assert got == {
+        "1": "head",
+        "2": "head",
+        "3": "middle",
+        "4": "middle",
+        "5": "tail",
+        "6": "tail",
+    }
