@@ -1580,6 +1580,50 @@ def _q_streaming_dedup(spark, sf_dir):
     )
 
 
+def _q_streaming_windows(spark, sf_dir):
+    """Watermarked tumbling-window rollup e2e (streaming/windows.py): the
+    events table streamed through withWatermark + window + append, plus one
+    flusher row 2 days past the max event time so the watermark finalizes
+    every real window (its own window never emits — append mode only emits
+    windows the watermark has passed). Late-data drop semantics are pinned
+    by tests/test_streaming_windows.py; this single-pass run is exactly the
+    batch groupBy the oracle states."""
+    import tempfile
+
+    from graphiti_spark.streaming.windows import windowed_event_counts
+
+    tmp = tempfile.mkdtemp(prefix="stream_win_")
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id", "value")
+    flusher = ev.agg(
+        F.timestamp_seconds(F.unix_timestamp(F.max("ts")) + 2 * 86400).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(0.0).alias("value"),
+    )
+    ev.unionByName(flusher).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/ev")
+    stream = spark.readStream.schema("ts timestamp, user_id long, value double").parquet(
+        f"{tmp}/ev"
+    )
+    rows: list = []
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            windowed_event_counts(stream, ts_col="ts", key_col="user_id")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, e: rows.extend(b.collect()))
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    return spark.createDataFrame(
+        rows,
+        "window_start_epoch long, key long, n_events long, total_value double",
+    )
+
+
 def _q_streaming_entity_state(spark, sf_dir):
     """Stateful streaming e2e: pages written as 8 files, streamed with
     maxFilesPerTrigger=2 (4 real micro-batches), per-entity running state
@@ -1753,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- stateful streaming (applyInPandasWithState e2e) ---
         "streaming_entity_state": _q_streaming_entity_state,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_windows": _q_streaming_windows,
     }
 
 
@@ -2388,6 +2433,12 @@ def oracle_sql() -> dict[str, str]:
         "hits_hosts": _hits_hosts_sql(10),
         "ppr_hosts": _ppr_hosts_sql(10),
         "k_core_parts": _k_core_sql(80, 10),
+        "streaming_windows": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+                   user_id AS key, count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
         "streaming_dedup": """
             SELECT md5(text) AS content_md5,
                    min(CAST(doc_id AS VARCHAR)) AS keeper_id,
