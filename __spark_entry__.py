@@ -1285,6 +1285,26 @@ def _q_adamic_adar_parts(spark, sf_dir):
     )
 
 
+def _q_link_pred_parts(spark, sf_dir):
+    """Multi-score link prediction (common-neighbors / Adamic-Adar /
+    resource-allocation / Jaccard / preferential-attachment) on the part
+    co-purchase graph — one wedge enumeration emitting all neighbor sums,
+    full degrees joined in for jaccard/PA. Same deg_cap=200 hub guard and
+    6dp-before-top-k discipline as adamic_adar_parts."""
+    from graphiti_spark.analytics.graph_metrics import link_prediction
+
+    out = link_prediction(_coorder_part_graph(spark, sf_dir), deg_cap=200, top_k=100)
+    return out.select(
+        F.col("uuid_a").cast("long").alias("uuid_a"),
+        F.col("uuid_b").cast("long").alias("uuid_b"),
+        "common_neighbors",
+        "adamic_adar",
+        "resource_allocation",
+        "jaccard",
+        "preferential_attachment",
+    )
+
+
 def _q_harmonic_hosts(spark, sf_dir):
     """Harmonic centrality of hosts in the (undirected) link graph — the
     closeness variant that tolerates the crawl's disconnected components.
@@ -1777,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- graph metrics beyond the reference's centrality set ---
         "triangle_counts": _q_triangle_counts,
         "adamic_adar_parts": _q_adamic_adar_parts,
+        "link_pred_parts": _q_link_pred_parts,
         "k_core_parts": _q_k_core_parts,
         "event_sessions": _q_event_sessions,
         "ppr_hosts": _q_ppr_hosts,
@@ -2429,6 +2450,32 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs LEFT JOIN ue ON pairs.uuid_a = ue.a AND pairs.uuid_b = ue.b
             WHERE ue.a IS NULL
             ORDER BY score DESC, uuid_a, uuid_b LIMIT 100
+        """,
+        "link_pred_parts": """
+            WITH ue AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                               greatest(a.l_partkey, b.l_partkey) AS b
+                        FROM lineitem a JOIN lineitem b
+                          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            adj AS (SELECT a AS z, b AS x FROM ue UNION ALL SELECT b, a FROM ue),
+            deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY z),
+            inter AS (SELECT z, 1.0 / ln(deg) AS w_aa, 1.0 / deg AS w_ra
+                      FROM deg WHERE deg >= 2 AND deg <= 200),
+            wadj AS (SELECT adj.z, adj.x, inter.w_aa, inter.w_ra
+                     FROM adj JOIN inter USING (z)),
+            pairs AS (SELECT l.x AS uuid_a, r.x AS uuid_b, count(*) AS cn,
+                             round(sum(l.w_aa), 6) AS aa, round(sum(l.w_ra), 6) AS ra
+                      FROM wadj l JOIN wadj r ON l.z = r.z AND l.x < r.x
+                      GROUP BY l.x, r.x),
+            na AS (SELECT pairs.* FROM pairs
+                   LEFT JOIN ue ON pairs.uuid_a = ue.a AND pairs.uuid_b = ue.b
+                   WHERE ue.a IS NULL)
+            SELECT na.uuid_a, na.uuid_b, cn AS common_neighbors,
+                   aa AS adamic_adar, ra AS resource_allocation,
+                   round(cn / CAST(da.deg + db.deg - cn AS DOUBLE), 6) AS jaccard,
+                   CAST(da.deg * db.deg AS BIGINT) AS preferential_attachment
+            FROM na JOIN deg da ON na.uuid_a = da.z
+                    JOIN deg db ON na.uuid_b = db.z
+            ORDER BY adamic_adar DESC, uuid_a, uuid_b LIMIT 100
         """,
         "hits_hosts": _hits_hosts_sql(10),
         "ppr_hosts": _ppr_hosts_sql(10),

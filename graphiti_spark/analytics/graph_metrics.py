@@ -340,3 +340,92 @@ def harmonic_centrality(
         )
         .drop("_raw")
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    deg_cap: int | None = 1000,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Multi-score link prediction for non-adjacent pairs (uuid_a < uuid_b):
+    the published neighborhood scores side by side —
+      common_neighbors        |Γ(a) ∩ Γ(b)|      (Newman 2001)
+      adamic_adar             Σ_z 1/ln(deg z)    (Adamic & Adar 2003)
+      resource_allocation     Σ_z 1/deg z        (Zhou et al. 2009)
+      jaccard                 cn / (deg a + deg b - cn)
+      preferential_attachment deg a · deg b      (Barabási-Albert)
+
+    One wedge enumeration (the `adamic_adar` groupBy + chained-explode shape
+    — no self-join) emits all three neighbor sums at once; full (uncapped)
+    endpoint degrees then join in for jaccard/PA. `deg_cap` is the same hub
+    skew guard as `adamic_adar` and the same documented approximation:
+    wedges THROUGH a capped hub are skipped, so cn/jaccard undercount pairs
+    whose only common neighbors are super-hubs (negligible information, deg²
+    fan-out). Scores rounded to 6dp BEFORE the (adamic_adar desc, uuid_a,
+    uuid_b) top-k cut so the ranking is cross-engine reproducible.
+    """
+    from graphiti_spark.session import plan_width
+
+    ue = undirected_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    adj = ue.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
+        ue.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy(F.col("z").alias("uuid")).agg(F.count(F.lit(1)).alias("deg"))
+    nbrs = adj.groupBy("z").agg(F.sort_array(F.collect_set("x")).alias("xs"))
+    nbrs = nbrs.filter(F.size("xs") >= 2)
+    if deg_cap is not None:
+        nbrs = nbrs.filter(F.size("xs") <= deg_cap)
+    n = F.size("xs")
+    nbrs = (
+        nbrs.withColumn("w_aa", 1.0 / F.log(n))
+        .withColumn("w_ra", 1.0 / n.cast("double"))
+        .repartition(plan_width(edges.sparkSession), "z")
+    )
+    pairs = (
+        nbrs.select(
+            "w_aa", "w_ra", "xs", F.explode(F.sequence(F.lit(1), n - 1)).alias("i")
+        )
+        .select(
+            "w_aa",
+            "w_ra",
+            F.element_at("xs", F.col("i")).alias("uuid_a"),
+            F.explode(
+                F.slice("xs", F.col("i") + F.lit(1), F.size("xs") - F.col("i"))
+            ).alias("uuid_b"),
+        )
+        .groupBy("uuid_a", "uuid_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.round(F.sum("w_aa"), 6).alias("adamic_adar"),
+            F.round(F.sum("w_ra"), 6).alias("resource_allocation"),
+        )
+    )
+    non_adj = pairs.join(
+        ue.select(F.col("a").alias("uuid_a"), F.col("b").alias("uuid_b")),
+        ["uuid_a", "uuid_b"],
+        "left_anti",
+    )
+    out = (
+        non_adj.join(deg.select(F.col("uuid").alias("uuid_a"), F.col("deg").alias("_da")), "uuid_a")
+        .join(deg.select(F.col("uuid").alias("uuid_b"), F.col("deg").alias("_db")), "uuid_b")
+        .select(
+            "uuid_a",
+            "uuid_b",
+            "common_neighbors",
+            "adamic_adar",
+            "resource_allocation",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("_da") + F.col("_db") - F.col("common_neighbors")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            (F.col("_da") * F.col("_db")).cast("long").alias("preferential_attachment"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("adamic_adar").desc(), F.col("uuid_a"), F.col("uuid_b")
+        ).limit(top_k)
+    return out

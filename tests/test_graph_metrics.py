@@ -198,3 +198,38 @@ def test_personalized_pagerank_requires_seeds(spark):
     )
     with pytest.raises(ValueError):
         personalized_pagerank(e, [])
+
+
+def test_link_prediction_hand_case(spark):
+    """Square with one diagonal: edges (1,2),(1,3),(2,3),(2,4),(3,4).
+    Γ(1)={2,3} Γ(2)={1,3,4} Γ(3)={1,2,4} Γ(4)={2,3}. The only non-adjacent
+    pair with a wedge is (1,4), through z=2 and z=3 (both deg 3):
+      cn=2, aa=2/ln(3), ra=2/3, jaccard=2/(2+2-2)=1.0, pa=2*2=4."""
+    import math
+
+    from graphiti_spark.analytics.graph_metrics import link_prediction
+
+    e = spark.createDataFrame(
+        [("1", "2"), ("1", "3"), ("2", "3"), ("2", "4"), ("3", "4")],
+        "src string, dst string",
+    )
+    rows = link_prediction(e).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["uuid_a"], r["uuid_b"]) == ("1", "4")
+    assert r["common_neighbors"] == 2
+    assert r["adamic_adar"] == pytest.approx(round(2 / math.log(3), 6), abs=1e-9)
+    assert r["resource_allocation"] == pytest.approx(0.666667, abs=1e-9)
+    assert r["jaccard"] == pytest.approx(1.0)
+    assert r["preferential_attachment"] == 4
+
+
+def test_link_prediction_deg_cap_drops_hub_wedges(spark):
+    from graphiti_spark.analytics.graph_metrics import link_prediction
+
+    e = spark.createDataFrame(
+        [("1", "2"), ("1", "3"), ("2", "3"), ("2", "4"), ("3", "4")],
+        "src string, dst string",
+    )
+    # cap=2 removes both deg-3 intermediates -> no wedge survives
+    assert link_prediction(e, deg_cap=2).count() == 0
