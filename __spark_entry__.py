@@ -280,6 +280,29 @@ _DSIR_WEIGHTS_CTES = f"""
               GROUP BY f.doc_id)"""
 
 
+# UniMax allocation twin (datapipe/sampling.unimax_allocation at
+# budget = 0.8 × total tokens, max_epochs = 1): the water-filling closed
+# form restated with SQL windows — ascending-cap running sum, per-row level
+# candidate, arg_min theta over uncapped rows, alloc = min(cap, theta).
+_UNIMAX_CTES = f"""
+            st AS (SELECT lang, CAST(sum(len({_TOKS})) AS DOUBLE) AS n_tokens
+                   FROM documents GROUP BY lang),
+            tot AS (SELECT 0.8 * sum(n_tokens) AS b FROM st),
+            wk AS (SELECT lang, n_tokens, round(n_tokens, 6) AS cap,
+                          row_number() OVER (ORDER BY round(n_tokens, 6), lang) AS k,
+                          coalesce(sum(round(n_tokens, 6)) OVER (
+                            ORDER BY round(n_tokens, 6), lang
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+                          count(*) OVER () AS L
+                   FROM st),
+            lv AS (SELECT wk.*, (tot.b - cum_prev) / (L - k + 1) AS lvl
+                   FROM wk CROSS JOIN tot),
+            th AS (SELECT arg_min(lvl, k) AS theta FROM lv WHERE NOT (cap <= lvl)),
+            ua AS (SELECT lang, n_tokens, cap,
+                          round(least(cap, coalesce(theta, cap)), 6) AS alloc
+                   FROM lv CROSS JOIN th)"""
+
+
 # Stupid-Backoff perplexity twin (datapipe/lm_quality at min_count=1,
 # alpha=0.4, target = en documents): position explode with context, unigram/
 # bigram count tables from the target slice, backoff CASE, 6dp mean rounding
@@ -1428,6 +1451,43 @@ def _q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "rate")
 
 
+def _q_unimax_alloc(spark, sf_dir):
+    """UniMax water-filling allocation (datapipe/sampling.unimax_allocation,
+    Chung et al. ICLR 2023) at budget = 0.8 × total corpus tokens,
+    max_epochs=1: the low-resource languages cap out at one epoch and the
+    head language absorbs the remainder. Oracle: the same closed form in
+    SQL windows (running cap sum, level candidates, arg_min theta)."""
+    from graphiti_spark.datapipe.sampling import unimax_allocation
+    from graphiti_spark.functions.textstats import token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.sum(token_count_col(F.col("text")))).collect()[0][0]
+    stats = docs.groupBy("lang").agg(
+        F.sum(token_count_col(F.col("text"))).alias("n_tokens")
+    )
+    out = unimax_allocation(stats, budget=0.8 * total, max_epochs=1.0)
+    return out.select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cap",
+        "alloc",
+        "epochs",
+        "rate",
+    )
+
+
+def _q_unimax_sample(spark, sf_dir):
+    """The UniMax allocation applied as a deterministic md5-gated Bernoulli
+    subsample per language (map-only corpus pass, broadcast rate table)."""
+    from graphiti_spark.datapipe.sampling import unimax_sample
+    from graphiti_spark.functions.textstats import token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.sum(token_count_col(F.col("text")))).collect()[0][0]
+    out = unimax_sample(docs, budget=0.8 * total, max_epochs=1.0)
+    return out.select("doc_id", "lang", "rate")
+
+
 def _q_pack_sequences(spark, sf_dir):
     from graphiti_spark.datapipe.sampling import pack_sequences
 
@@ -1802,6 +1862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "ppr_hosts": _q_ppr_hosts,
         "stratified_sample": _q_stratified_sample,
+        "unimax_alloc": _q_unimax_alloc,
+        "unimax_sample": _q_unimax_sample,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "lm_perplexity": _q_lm_perplexity,
@@ -2537,6 +2599,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.lang, r.rate
             FROM t JOIN r USING (lang)
             WHERE cast(concat('0x', substr(md5(concat('v1:', CAST(t.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  % 1000000 < CAST(r.rate * 1000000 AS BIGINT)
+        """,
+        "unimax_alloc": f"""
+            WITH {_UNIMAX_CTES}
+            SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens, cap, alloc,
+                   round(alloc / n_tokens, 6) AS epochs,
+                   round(least(1.0, alloc / n_tokens), 6) AS rate
+            FROM ua
+        """,
+        "unimax_sample": f"""
+            WITH {_UNIMAX_CTES},
+            r AS (SELECT lang, round(least(1.0, alloc / n_tokens), 6) AS rate FROM ua)
+            SELECT d.doc_id, d.lang, r.rate
+            FROM documents d JOIN r USING (lang)
+            WHERE cast(concat('0x', substr(md5(concat('unimax:', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
                   % 1000000 < CAST(r.rate * 1000000 AS BIGINT)
         """,
         "chunk_documents": f"""

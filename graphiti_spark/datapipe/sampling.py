@@ -143,3 +143,94 @@ def pack_sequences(
             (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / seq_len
         ).alias("end_seq"),
     )
+
+
+def unimax_allocation(
+    lang_stats: DataFrame,
+    budget: float,
+    max_epochs: float = 1.0,
+    lang_col: str = "lang",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax language-balanced budget allocation (Chung et al., ICLR 2023,
+    "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): distribute a total token ``budget`` across
+    languages as uniformly as possible, capping every language at
+    ``max_epochs`` passes over its corpus — low-resource languages get fully
+    capped, high-resource ones split the remainder evenly.
+
+    The paper states it as a sequential loop (smallest corpus first); the
+    loop has a water-filling closed form computed here in ONE window pass
+    over the per-language stats table: with caps sorted ascending, the fill
+    level candidate at row k is lvl_k = (budget - cum_cap_{k-1}) / (L-k+1),
+    a row is capped iff cap_k <= lvl_k (the capped set is always a prefix —
+    lvl is non-decreasing while capping), and theta = lvl at the first
+    uncapped row. alloc = min(cap, theta).
+
+    Scale shape: the stats table is one row per language (hundreds), so the
+    single-partition window is O(languages), never O(corpus); the corpus
+    itself is touched only by the map-only gate in `unimax_sample`.
+
+    Returns (lang, n_tokens, cap, alloc, epochs, rate) — `epochs` =
+    alloc/tokens (may exceed 1 when max_epochs > 1: repetition count),
+    `rate` = min(1, epochs) (the subsample keep-rate), both rounded 6dp.
+    """
+    stats = lang_stats.select(
+        F.col(lang_col).alias("lang"), F.col(tokens_col).cast("double").alias("n_tokens")
+    ).withColumn("cap", F.round(F.lit(float(max_epochs)) * F.col("n_tokens"), 6))
+    w = Window.orderBy("cap", "lang")
+    wk = (
+        stats.withColumn("_k", F.row_number().over(w))
+        .withColumn(
+            "_cum_prev",
+            F.coalesce(
+                F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("_L", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "_lvl",
+            (F.lit(float(budget)) - F.col("_cum_prev")) / (F.col("_L") - F.col("_k") + 1),
+        )
+        .withColumn("_capped", F.col("cap") <= F.col("_lvl"))
+    )
+    theta = wk.filter(~F.col("_capped")).agg(
+        F.min_by("_lvl", "_k").alias("_theta")
+    )
+    return (
+        wk.crossJoin(F.broadcast(theta))
+        .select(
+            "lang",
+            "n_tokens",
+            "cap",
+            F.round(F.least("cap", F.coalesce("_theta", "cap")), 6).alias("alloc"),
+        )
+        .withColumn("epochs", F.round(F.col("alloc") / F.col("n_tokens"), 6))
+        .withColumn("rate", F.round(F.least(F.lit(1.0), F.col("alloc") / F.col("n_tokens")), 6))
+    )
+
+
+def unimax_sample(
+    docs: DataFrame,
+    budget: float,
+    max_epochs: float = 1.0,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "unimax",
+) -> DataFrame:
+    """Apply the UniMax allocation as a deterministic per-language Bernoulli
+    subsample: the same md5 hash gate as `stratified_sample`, with rates from
+    `unimax_allocation`. Map-only over the corpus (the rate table enters
+    broadcast)."""
+    stats = docs.groupBy(lang_col).agg(
+        F.sum(token_count_col(F.col(text_col))).alias("n_tokens")
+    )
+    rates = unimax_allocation(stats, budget, max_epochs, lang_col=lang_col).select(
+        F.col("lang").alias(lang_col), "rate"
+    )
+    gated = docs.join(F.broadcast(rates), lang_col, "inner")
+    return gated.filter(
+        _hash_gate(F.col(id_col), salt) < (F.col("rate") * _GATE_MOD).cast("bigint")
+    )

@@ -164,3 +164,70 @@ def test_paragraph_dedup_hot_paragraph(spark):
     texts = {r["doc_id"]: r["deduped_text"] for r in got.collect()}
     assert texts[0] == "boilerplate footer\n\nunique 0"
     assert all(texts[i] == "unique %d" % i for i in range(1, 100))
+
+
+def test_unimax_allocation_water_filling(spark):
+    """Hand case: caps [1,4,10], budget 9 → levels [3,4,4], first two capped,
+    theta=4 → allocs [1,4,4] (sums to budget)."""
+    from graphiti_spark.datapipe.sampling import unimax_allocation
+
+    stats = spark.createDataFrame(
+        [("a", 1.0), ("b", 4.0), ("c", 10.0)], "lang string, n_tokens double"
+    )
+    got = {r["lang"]: r for r in unimax_allocation(stats, budget=9.0).collect()}
+    assert got["a"]["alloc"] == 1.0 and got["a"]["epochs"] == 1.0
+    assert got["b"]["alloc"] == 4.0
+    assert got["c"]["alloc"] == 4.0 and got["c"]["rate"] == 0.4
+    assert sum(r["alloc"] for r in got.values()) == 9.0
+
+
+def test_unimax_allocation_no_caps_and_all_caps(spark):
+    from graphiti_spark.datapipe.sampling import unimax_allocation
+
+    stats = spark.createDataFrame(
+        [("a", 5.0), ("b", 6.0)], "lang string, n_tokens double"
+    )
+    # budget below every cap: even split, nobody capped
+    got = {r["lang"]: r["alloc"] for r in unimax_allocation(stats, budget=4.0).collect()}
+    assert got == {"a": 2.0, "b": 2.0}
+    # budget above the total cap: everyone fully capped at max_epochs
+    got = {r["lang"]: r for r in unimax_allocation(stats, budget=100.0, max_epochs=2.0).collect()}
+    assert got["a"]["alloc"] == 10.0 and got["a"]["epochs"] == 2.0 and got["a"]["rate"] == 1.0
+    assert got["b"]["alloc"] == 12.0
+
+
+def test_unimax_sample_gate_matches_stratified_formula(spark):
+    """The sample keeps exactly the md5-gated ids at the allocation's rate —
+    cross-checked against an explicit python reimplementation of the gate."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.datapipe.sampling import unimax_allocation, unimax_sample
+    from graphiti_spark.functions.textstats import token_count_col
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr", "w " * 10) for i in range(200)],
+        "doc_id long, lang string, text string",
+    )
+    out = unimax_sample(docs, budget=1000.0, max_epochs=1.0)
+    kept = {r["doc_id"] for r in out.collect()}
+    stats = docs.groupBy("lang").agg(
+        F.sum(token_count_col(F.col("text"))).alias("n_tokens")
+    )
+    rates = {
+        r["lang"]: r["rate"]
+        for r in unimax_allocation(stats, budget=1000.0).collect()
+    }
+
+    def gate(doc_id):
+        h = int(hashlib.md5(f"unimax:{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % 1_000_000
+
+    n_kept = 0
+    for i in range(200):
+        lang = "en" if i % 2 == 0 else "fr"
+        expect = gate(i) < int(rates[lang] * 1_000_000)
+        assert (i in kept) == expect, (i, lang, rates[lang])
+        n_kept += expect
+    assert n_kept == len(kept) > 0
