@@ -595,7 +595,9 @@ def semantic_dedup(
     """
     from graphiti_spark.datapipe.simsearch import ivf_assign, train_ivf_centroids
     from graphiti_spark.functions.embeddings import cosine_col
+    from graphiti_spark.session import widen_if_narrow
 
+    embeddings = widen_if_narrow(embeddings, id_col)
     cents = train_ivf_centroids(
         embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
@@ -605,14 +607,39 @@ def semantic_dedup(
     )
     sizes = a.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n"))
     a = a.join(sizes.filter(F.col("n") <= cell_cap).select("ivf_cell"), "ivf_cell")
+    # Blocked within-cell pair join: a plain self-join on ivf_cell has only
+    # k distinct keys, so the expensive cosine stage is capped at k tasks no
+    # matter how many cores exist. Hashing members into n_blocks sub-blocks
+    # and joining on (cell, block_i, block_j) with i <= j enumerates every
+    # unordered pair exactly once across k·B(B+1)/2 keys — the pair SET (and
+    # every cosine value) is identical to the unblocked join.
+    n_blocks = 8
+    a = a.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_blocks)).cast("int")
+    )
+    xs = a.select(
+        "ivf_cell",
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_blk").alias("_ki"),
+        F.explode(F.sequence("_blk", F.lit(n_blocks - 1))).alias("_kj"),
+    )
+    ys = a.select(
+        "ivf_cell",
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.explode(F.sequence(F.lit(0), "_blk")).alias("_ki"),
+        F.col("_blk").alias("_kj"),
+    )
     pairs = (
-        a.alias("x")
-        .join(a.alias("y"), "ivf_cell")
-        .filter(F.col("x._id") < F.col("y._id"))
+        xs.join(ys, ["ivf_cell", "_ki", "_kj"])
+        # same-block matches appear in both orientations (and as self-pairs):
+        # keep the id_a < id_b one; cross-block matches appear exactly once.
+        .filter((F.col("_ki") != F.col("_kj")) | (F.col("_ida") < F.col("_idb")))
         .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            cosine_col(F.col("x._v"), F.col("y._v")).alias("cosine"),
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            cosine_col(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

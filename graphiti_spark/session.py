@@ -41,6 +41,20 @@ def plan_width(spark: SparkSession) -> int:
     return spark.sparkContext.defaultParallelism
 
 
+def widen_if_narrow(df, key: str):
+    """Width guard for operators fed directly from a small scan: a corpus
+    below ``files.maxPartitionBytes`` arrives as ONE split and would run the
+    whole operator on one core at any parallelism level (the
+    plans.pipeline.ensure_scan_width lesson, generalized). Hash-repartition
+    on ``key`` to plan_width when the input is narrower than the session's
+    parallelism; a warehouse-scale scan already has >> cores splits and this
+    is a no-op."""
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return df.repartition(plan_width(spark), key)
+    return df
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship graphiti_spark to executor Python workers (the in-session twin of
     ``spark-submit --py-files graphiti_spark.zip``). Without it, pandas UDFs
