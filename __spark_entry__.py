@@ -280,6 +280,25 @@ _DSIR_WEIGHTS_CTES = f"""
               GROUP BY f.doc_id)"""
 
 
+# MinHash banded-LSH pair CTEs (datapipe/dedup.minhash_lsh_pairs at
+# num_hashes=8, rows_per_band=2, threshold 0.95) — shared by the
+# minhash_lsh_pairs oracle and the fuzzy_dedup_corpus closure oracle.
+# rows_per_band=2: band key = mh(2i) || ':' || mh(2i+1); || propagates
+# NULL like Spark F.concat, so empty-doc NULL sigs never collide.
+_MINHASH_PAIRS_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            sigs AS (SELECT doc_id, list_distinct(tk) AS tkset,
+                            {", ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
+                     FROM toks),
+            bands AS ({" UNION ALL ".join(f"SELECT doc_id, {i} AS band, CAST(mh{2 * i} AS VARCHAR) || ':' || CAST(mh{2 * i + 1} AS VARCHAR) AS band_hash FROM sigs" for i in range(4))}),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+            j AS (SELECT id_a, id_b,
+                         CAST(len(list_intersect(sa.tkset, sb.tkset)) AS DOUBLE)
+                           / len(list_distinct(list_concat(sa.tkset, sb.tkset))) AS jaccard
+                  FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id JOIN sigs sb ON cand.id_b = sb.doc_id)"""
+
+
 # UniMax allocation twin (datapipe/sampling.unimax_allocation at
 # budget = 0.8 × total tokens, max_epochs = 1): the water-filling closed
 # form restated with SQL windows — ascending-cap running sum, per-row level
@@ -1126,6 +1145,27 @@ def _q_domain_stats(spark, sf_dir):
     )
 
 
+def _q_c4_quality(spark, sf_dir):
+    """C4-style line cleaning + page gate (datapipe/quality.
+    c4_clean_and_flags, Raffel et al. 2020 §2.2): terminal-punctuation /
+    min-words / javascript line filters, lorem-ipsum / curly-brace /
+    min-sentences page flags, cleaned text rebuilt from surviving lines.
+    Oracle: full SQL restatement of every rule."""
+    from graphiti_spark.datapipe.quality import c4_clean_and_flags
+
+    out = c4_clean_and_flags(_t(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_lorem_ipsum",
+        "has_curly_brace",
+        "c4_kept",
+        "clean_text",
+    )
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (datapipe/dsir.py): hashed unigram+bigram
     bag models (md5 buckets, add-one smoothing) for target = en documents
@@ -1619,6 +1659,21 @@ def _q_neardup_keep_canonical(spark, sf_dir):
     return keep_canonical(docs, pairs)
 
 
+def _q_fuzzy_dedup_corpus(spark, sf_dir):
+    """The full RefinedWeb/Dolma-style fuzzy-dedup chain as ONE op:
+    MinHash-banded-LSH candidate pairs (verified at jaccard >= 0.95) ->
+    large/small-star transitive closure -> lexicographic-min survivor per
+    duplicate cluster (datapipe/dedup.minhash_lsh_pairs + keep_canonical).
+    Oracle: the shared MinHash pair CTEs + a recursive-CTE closure."""
+    from graphiti_spark.datapipe.dedup import keep_canonical, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=8, jaccard_threshold=0.95, rows_per_band=2
+    )
+    return keep_canonical(docs, pairs.select("id_a", "id_b"))
+
+
 def _q_streaming_dedup(spark, sf_dir):
     """Streaming first-occurrence exact dedup e2e (streaming/dedup.py):
     documents streamed through applyInPandasWithState, one emission per
@@ -1864,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "unimax_alloc": _q_unimax_alloc,
         "unimax_sample": _q_unimax_sample,
+        "c4_quality": _q_c4_quality,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "lm_perplexity": _q_lm_perplexity,
@@ -1879,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         # --- stateful streaming (applyInPandasWithState e2e) ---
         "streaming_entity_state": _q_streaming_entity_state,
+        "fuzzy_dedup_corpus": _q_fuzzy_dedup_corpus,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_windows": _q_streaming_windows,
     }
@@ -2065,21 +2122,25 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
         """,
         "minhash_lsh_pairs": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
-            sigs AS (SELECT doc_id, list_distinct(tk) AS tkset,
-                            {", ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
-                     FROM toks),
-            -- rows_per_band=2: band key = mh(2i) || ':' || mh(2i+1); || propagates
-            -- NULL like Spark F.concat, so empty-doc NULL sigs never collide
-            bands AS ({" UNION ALL ".join(f"SELECT doc_id, {i} AS band, CAST(mh{2 * i} AS VARCHAR) || ':' || CAST(mh{2 * i + 1} AS VARCHAR) AS band_hash FROM sigs" for i in range(4))}),
-            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                     FROM bands a JOIN bands b
-                       ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-            j AS (SELECT id_a, id_b,
-                         CAST(len(list_intersect(sa.tkset, sb.tkset)) AS DOUBLE)
-                           / len(list_distinct(list_concat(sa.tkset, sb.tkset))) AS jaccard
-                  FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id JOIN sigs sb ON cand.id_b = sb.doc_id)
+            WITH {_MINHASH_PAIRS_CTES}
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.95
+        """,
+        # fuzzy_dedup_corpus: the same MinHash pair CTEs + recursive-CTE
+        # transitive closure + lexicographic-min survivor (the
+        # neardup_keep_canonical pattern over the MinHash pair family).
+        "fuzzy_dedup_corpus": f"""
+            WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+            mp AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.95),
+            edges AS (SELECT CAST(id_a AS VARCHAR) AS u, CAST(id_b AS VARCHAR) AS v FROM mp
+                      UNION SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM mp),
+            reach(u, v) AS (SELECT u, v FROM edges
+                            UNION
+                            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+            canon AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   least(CAST(d.doc_id AS VARCHAR), coalesce(c.mv, CAST(d.doc_id AS VARCHAR))) AS canonical_id,
+                   least(CAST(d.doc_id AS VARCHAR), coalesce(c.mv, CAST(d.doc_id AS VARCHAR))) = CAST(d.doc_id AS VARCHAR) AS is_kept
+            FROM documents d LEFT JOIN canon c ON CAST(d.doc_id AS VARCHAR) = c.u
         """,
         "simhash_fingerprints": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
@@ -2330,6 +2391,31 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(total_tokens AS DOUBLE)
                          / (SELECT sum(total_tokens) FROM agg), 6) AS token_share
             FROM agg
+        """,
+        "c4_quality": f"""
+            WITH ls AS (SELECT doc_id, text,
+                          list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+                        FROM documents),
+            kp AS (SELECT doc_id, text, lines,
+                     list_filter(list_transform(lines, x -> trim(x)),
+                       x -> regexp_matches(x, '[.!?"'']$')
+                            AND len(list_filter(string_split_regex(x, '\\s+'), t -> t <> '')) >= 5
+                            AND NOT regexp_matches(lower(x), '\\bjavascript\\b')) AS kept
+                   FROM ls),
+            cl AS (SELECT doc_id, text, lines, kept,
+                          -- array_to_string([]) is NULL in DuckDB; Spark
+                          -- concat_ws gives '' — align on ''
+                          coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+                   FROM kp)
+            SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,
+                   len(regexp_extract_all(clean_text, '[.!?]')) AS n_sentences,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                   contains(text, '{{') AS has_curly_brace,
+                   (len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{{')) AS c4_kept,
+                   clean_text
+            FROM cl
         """,
         "dsir_weights": f"""
             WITH {_DSIR_WEIGHTS_CTES}

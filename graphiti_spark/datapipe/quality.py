@@ -252,3 +252,63 @@ def gopher_quality_flags(
         out = out.withColumn(name, cond)
         keep = keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+def c4_clean_and_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style line cleaning + page gate (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning", §2.2 — the filters that built C4 from
+    Common Crawl), complementing the Gopher gate above with the OTHER
+    published rule family:
+
+      line level (the retained text is rebuilt from surviving lines):
+        - keep only lines whose trimmed form ends in terminal punctuation
+          (. ! ? " '),
+        - with at least ``min_line_words`` whitespace words,
+        - not containing the word "javascript" (case-insensitive);
+      page level (flags; `c4_kept` is their conjunction):
+        - at least ``min_sentences`` sentence terminators in the cleaned
+          text,
+        - no "lorem ipsum" (case-insensitive),
+        - no curly brace '{' anywhere in the original text.
+
+    (C4 also drops pages on a word blocklist and dedups three-sentence
+    spans; the blocklist is deployment policy — supply it via
+    `webstats.domain_blocklist_filter`'s pattern — and span dedup is
+    `spandedup.span_dedup` / `decontam.paragraph_dedup`.)
+
+    Everything is a per-row higher-order function over the line split —
+    map-only, codegen, zero shuffle, fusable with the extraction scan.
+
+    Returns (id, n_lines, n_kept_lines, n_sentences, has_lorem_ipsum,
+    has_curly_brace, c4_kept, clean_text).
+    """
+    lines = _lines_col(F.col(text_col))
+    trimmed = F.transform(lines, lambda ln: F.trim(ln))
+    kept = F.filter(
+        trimmed,
+        lambda ln: ln.rlike(r"""[.!?"']$""")
+        & (F.size(F.filter(F.split(ln, r"\s+"), lambda t: t != "")) >= min_line_words)
+        & ~F.lower(ln).rlike(r"\bjavascript\b"),
+    )
+    clean = F.concat_ws("\n", kept)
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_curly = F.col(text_col).contains("{")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_curly.alias("has_curly_brace"),
+        (
+            (n_sent >= min_sentences) & ~has_lorem & ~has_curly
+        ).alias("c4_kept"),
+        clean.alias("clean_text"),
+    )

@@ -157,3 +157,55 @@ def test_chunk_documents_hand_computed(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_c4_clean_and_flags_hand_cases(spark):
+    """Hand-derived C4 rule outcomes (quality.c4_clean_and_flags)."""
+    from graphiti_spark.datapipe.quality import c4_clean_and_flags
+
+    d1 = (
+        "This is a good long sentence here.\n"
+        "short line.\n"
+        "No terminal punctuation here at all\n"
+        "This javascript line has enough words here.\n"
+        "Another proper long sentence right here!"
+    )
+    d2 = (
+        "One decent sentence sits right here today.\n"
+        "Two decent sentences sit right here today.\n"
+        "Surely three decent sentences sit here today."
+    )
+    d3 = (
+        "Good long sentence with lorem ipsum inside here.\n"
+        "Another fine long sentence arrives right here.\n"
+        "Yet another fine long sentence lands here."
+    )
+    d4 = (
+        "Fine long sentence number one stands here.\n"
+        "Fine long sentence number two stands here.\n"
+        "obj = { x }"
+    )
+    docs = spark.createDataFrame(
+        [("1", d1), ("2", d2), ("3", d3), ("4", d4)], "doc_id string, text string"
+    )
+    got = {r["id"]: r for r in c4_clean_and_flags(docs).collect()}
+
+    # d1: lines 2 (short), 3 (no terminal), 4 (javascript) dropped;
+    # cleaned text has 2 sentence marks -> page dropped on min_sentences
+    assert got["1"]["n_lines"] == 5 and got["1"]["n_kept_lines"] == 2
+    assert got["1"]["clean_text"] == (
+        "This is a good long sentence here.\nAnother proper long sentence right here!"
+    )
+    assert got["1"]["n_sentences"] == 2 and not got["1"]["c4_kept"]
+
+    # d2: all three survive -> kept
+    assert got["2"]["n_kept_lines"] == 3 and got["2"]["c4_kept"]
+
+    # d3: lorem ipsum kills the page even with 3 clean sentences
+    assert got["3"]["n_kept_lines"] == 3 and got["3"]["has_lorem_ipsum"]
+    assert not got["3"]["c4_kept"]
+
+    # d4: curly-brace page flag from the ORIGINAL text; brace line also
+    # fails the terminal-punctuation rule
+    assert got["4"]["n_kept_lines"] == 2 and got["4"]["has_curly_brace"]
+    assert not got["4"]["c4_kept"]
