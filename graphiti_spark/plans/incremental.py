@@ -402,32 +402,41 @@ def _rebuild_affected(
         .localCheckpoint()
     )
 
-    # ---- nodes: rebuild affected clusters, delete superseded canonicals ---
-    entities_all = _read(spark, state_dir, "entities")
-    ents_c = entities_all.join(
-        F.broadcast(map_new.select(F.col("uuid").alias("entity_uuid"), "canonical_uuid")),
-        "entity_uuid",
-        "left",
-    ).withColumn("canon", F.coalesce("canonical_uuid", "entity_uuid"))
-    members = ents_c.join(F.broadcast(affected_canon), "canon", "left_semi").drop(
-        "canonical_uuid", "canon"
-    )
-    nodes_updated = canonical_nodes(members, map_new, config.created_at_iso)
-    if registry is not None:
-        from graphiti_spark.operators.typed_schemas import apply_entity_types
+    # The three table rebuilds below (nodes / edges / mentions) are mutually
+    # independent — each reads shared checkpointed inputs (map_new,
+    # affected_canon, ch) plus its OWN state table and writes its OWN target
+    # — so they run as concurrent Spark jobs from a thread pool (the same
+    # overlap pattern as run_pipeline's s4‖ER chain). Resume safety is
+    # unchanged: a crash before the final episodes/marker phase re-runs the
+    # whole batch and every upsert is idempotent by key.
 
-        nodes_updated = apply_entity_types(nodes_updated, registry)
-    nodes_updated = nodes_updated.localCheckpoint()
-    nodes_old = _read(spark, state_dir, "nodes")
-    del_nodes = (
-        nodes_old.select("uuid")
-        .join(F.broadcast(affected_canon.withColumnRenamed("canon", "uuid")), "uuid", "left_semi")
-        .join(nodes_updated.select("uuid"), "uuid", "left_anti")
-    )
-    upsert_table(
-        spark, nodes_updated, _p(state_dir, "nodes"), partition_by=["group_id"], delete_keys=del_nodes
-    )
-    mark("nodes_rebuild_upsert")
+    # ---- nodes: rebuild affected clusters, delete superseded canonicals ---
+    def _nodes_job():
+        entities_all = _read(spark, state_dir, "entities")
+        ents_c = entities_all.join(
+            F.broadcast(map_new.select(F.col("uuid").alias("entity_uuid"), "canonical_uuid")),
+            "entity_uuid",
+            "left",
+        ).withColumn("canon", F.coalesce("canonical_uuid", "entity_uuid"))
+        members = ents_c.join(F.broadcast(affected_canon), "canon", "left_semi").drop(
+            "canonical_uuid", "canon"
+        )
+        nodes_updated = canonical_nodes(members, map_new, config.created_at_iso)
+        if registry is not None:
+            from graphiti_spark.operators.typed_schemas import apply_entity_types
+
+            nodes_updated = apply_entity_types(nodes_updated, registry)
+        nodes_updated = nodes_updated.localCheckpoint()
+        nodes_old = _read(spark, state_dir, "nodes")
+        del_nodes = (
+            nodes_old.select("uuid")
+            .join(F.broadcast(affected_canon.withColumnRenamed("canon", "uuid")), "uuid", "left_semi")
+            .join(nodes_updated.select("uuid"), "uuid", "left_anti")
+        )
+        upsert_table(
+            spark, nodes_updated, _p(state_dir, "nodes"), partition_by=["group_id"], delete_keys=del_nodes
+        )
+        return nodes_updated
 
     # ---- edges: recompute affected invalidation partitions completely -----
     # A partition is (group_id, canonical source, predicate) — the window key
@@ -435,7 +444,6 @@ def _rebuild_affected(
     # losing a row (endpoint remapped away), or gaining a row (endpoint
     # remapped in) is rebuilt from the CUMULATIVE triples so the lead()
     # window sees its complete row set.
-    triples_cum = _read(spark, state_dir, "triples_raw")
     mns = F.broadcast(map_new.select(F.col("uuid").alias("k"), "canonical_uuid"))
 
     def with_canon(t: DataFrame) -> DataFrame:
@@ -446,84 +454,98 @@ def _rebuild_affected(
             .withColumn("_ct", F.coalesce("_ct", "target_entity_uuid"))
         )
 
-    tc = with_canon(triples_cum)
-    aff = F.broadcast(affected_canon)
-    part_moved = tc.join(
-        aff, (tc["_cs"] == aff["canon"]) | (tc["_ct"] == aff["canon"]), "left_semi"
-    ).select("group_id", F.col("_cs").alias("src"), "name")
-    edges_old = _read(spark, state_dir, "edges")
-    part_old = edges_old.join(
-        aff,
-        (edges_old["source_node_uuid"] == aff["canon"]) | (edges_old["target_node_uuid"] == aff["canon"]),
-        "left_semi",
-    ).select("group_id", F.col("source_node_uuid").alias("src"), "name")
-    parts = part_moved.unionByName(part_old)
-    if triples_extra is not None:
-        parts = parts.unionByName(
-            with_canon(triples_extra).select("group_id", F.col("_cs").alias("src"), "name")
-        )
-    # fresh attribute ids: parts' first union branch derives from tc, so the
-    # joins below would otherwise be ambiguous self-joins
-    parts = parts.distinct().localCheckpoint().toDF("p_group_id", "p_src", "p_name")
-
-    rebuild_triples = tc.join(
-        F.broadcast(parts),
-        (tc["group_id"] == parts["p_group_id"]) & (tc["_cs"] == parts["p_src"]) & (tc["name"] == parts["p_name"]),
-        "left_semi",
-    ).drop("_cs", "_ct")
-    edges_updated = invalidate_contradictions(
-        merge_edges(resolve_edge_pointers(rebuild_triples, map_new)), config
-    )
-    if registry is not None:
-        from graphiti_spark.operators.typed_schemas import apply_edge_types
-
-        edges_updated = apply_edge_types(edges_updated, registry)
-    edges_updated = edges_updated.localCheckpoint()
-    del_edges = (
-        edges_old.join(
-            F.broadcast(parts),
-            (edges_old["group_id"] == parts["p_group_id"])
-            & (edges_old["source_node_uuid"] == parts["p_src"])
-            & (edges_old["name"] == parts["p_name"]),
+    def _edges_job():
+        triples_cum = _read(spark, state_dir, "triples_raw")
+        tc = with_canon(triples_cum)
+        aff = F.broadcast(affected_canon)
+        part_moved = tc.join(
+            aff, (tc["_cs"] == aff["canon"]) | (tc["_ct"] == aff["canon"]), "left_semi"
+        ).select("group_id", F.col("_cs").alias("src"), "name")
+        edges_old = _read(spark, state_dir, "edges")
+        part_old = edges_old.join(
+            aff,
+            (edges_old["source_node_uuid"] == aff["canon"]) | (edges_old["target_node_uuid"] == aff["canon"]),
             "left_semi",
+        ).select("group_id", F.col("source_node_uuid").alias("src"), "name")
+        parts = part_moved.unionByName(part_old)
+        if triples_extra is not None:
+            parts = parts.unionByName(
+                with_canon(triples_extra).select("group_id", F.col("_cs").alias("src"), "name")
+            )
+        # fresh attribute ids: parts' first union branch derives from tc, so
+        # the joins below would otherwise be ambiguous self-joins
+        parts = parts.distinct().localCheckpoint().toDF("p_group_id", "p_src", "p_name")
+
+        rebuild_triples = tc.join(
+            F.broadcast(parts),
+            (tc["group_id"] == parts["p_group_id"]) & (tc["_cs"] == parts["p_src"]) & (tc["name"] == parts["p_name"]),
+            "left_semi",
+        ).drop("_cs", "_ct")
+        edges_updated = invalidate_contradictions(
+            merge_edges(resolve_edge_pointers(rebuild_triples, map_new)), config
         )
-        .select("uuid")
-        .join(edges_updated.select("uuid"), "uuid", "left_anti")
-    )
-    upsert_table(
-        spark, edges_updated, _p(state_dir, "edges"), partition_by=["group_id"], delete_keys=del_edges
-    )
-    mark("edges_rebuild_upsert")
+        if registry is not None:
+            from graphiti_spark.operators.typed_schemas import apply_edge_types
+
+            edges_updated = apply_edge_types(edges_updated, registry)
+        edges_updated = edges_updated.localCheckpoint()
+        del_edges = (
+            edges_old.join(
+                F.broadcast(parts),
+                (edges_old["group_id"] == parts["p_group_id"])
+                & (edges_old["source_node_uuid"] == parts["p_src"])
+                & (edges_old["name"] == parts["p_name"]),
+                "left_semi",
+            )
+            .select("uuid")
+            .join(edges_updated.select("uuid"), "uuid", "left_anti")
+        )
+        upsert_table(
+            spark, edges_updated, _p(state_dir, "edges"), partition_by=["group_id"], delete_keys=del_edges
+        )
+        return edges_updated, parts
 
     # ---- mentions: rebuild rows of affected clusters + the new batch ------
-    raw_c = mentions_cum.join(
-        F.broadcast(map_new.select(F.col("uuid").alias("entity_uuid"), "canonical_uuid")),
-        "entity_uuid",
-        "left",
-    ).withColumn("canon", F.coalesce("canonical_uuid", "entity_uuid"))
-    raw_affected = raw_c.join(F.broadcast(affected_canon), "canon", "left_semi").drop(
-        "canonical_uuid", "canon"
-    )
-    mentions_updated = remap_mentions(raw_affected, map_new).localCheckpoint()
-    mentions_old_tbl = _read(spark, state_dir, "mentions")
-    old_canon_all = (
-        ch.select(F.col("c_old").alias("entity_uuid"))
-        .unionByName(affected_canon.withColumnRenamed("canon", "entity_uuid"))
-        .distinct()
-    )
-    del_mentions = (
-        mentions_old_tbl.join(F.broadcast(old_canon_all), "entity_uuid", "left_semi")
-        .select("uuid")
-        .join(mentions_updated.select("uuid"), "uuid", "left_anti")
-    )
-    upsert_table(
-        spark,
-        mentions_updated,
-        _p(state_dir, "mentions"),
-        partition_by=["group_id"],
-        delete_keys=del_mentions,
-    )
-    mark("mentions_rebuild_upsert")
+    def _mentions_job():
+        raw_c = mentions_cum.join(
+            F.broadcast(map_new.select(F.col("uuid").alias("entity_uuid"), "canonical_uuid")),
+            "entity_uuid",
+            "left",
+        ).withColumn("canon", F.coalesce("canonical_uuid", "entity_uuid"))
+        raw_affected = raw_c.join(F.broadcast(affected_canon), "canon", "left_semi").drop(
+            "canonical_uuid", "canon"
+        )
+        mentions_updated = remap_mentions(raw_affected, map_new).localCheckpoint()
+        mentions_old_tbl = _read(spark, state_dir, "mentions")
+        old_canon_all = (
+            ch.select(F.col("c_old").alias("entity_uuid"))
+            .unionByName(affected_canon.withColumnRenamed("canon", "entity_uuid"))
+            .distinct()
+        )
+        del_mentions = (
+            mentions_old_tbl.join(F.broadcast(old_canon_all), "entity_uuid", "left_semi")
+            .select("uuid")
+            .join(mentions_updated.select("uuid"), "uuid", "left_anti")
+        )
+        upsert_table(
+            spark,
+            mentions_updated,
+            _p(state_dir, "mentions"),
+            partition_by=["group_id"],
+            delete_keys=del_mentions,
+        )
+        return mentions_updated
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_nodes = pool.submit(_nodes_job)
+        f_edges = pool.submit(_edges_job)
+        f_mentions = pool.submit(_mentions_job)
+        nodes_updated = f_nodes.result()
+        edges_updated, parts = f_edges.result()
+        f_mentions.result()
+    mark("rebuild_upserts")
 
     return {
         "changed_entities": changed_uuids.count(),
