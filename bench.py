@@ -115,6 +115,18 @@ def main() -> None:
     from graphiti_spark.datapipe.quality import gopher_quality_flags
 
     timed("gopher_quality", lambda: gopher_quality_flags(docs).count())
+    from graphiti_spark.datapipe.quality import c4_clean_and_flags
+
+    timed(
+        "c4_quality",
+        lambda: c4_clean_and_flags(docs).select(F.sum(F.length("clean_text"))).collect()[0][0],
+    )
+    from graphiti_spark.datapipe.lm_quality import lm_perplexity, train_backoff_lm
+
+    timed(
+        "lm_perplexity",
+        lambda: lm_perplexity(docs, train_backoff_lm(docs.filter("lang = 'en'"))).count(),
+    )
     timed(
         "pii_mask",
         lambda: mask_pii(docs).select(F.sum(F.length("masked_text"))).collect()[0][0],

@@ -97,7 +97,16 @@ def train_backoff_lm(
             "prev", "cur", (F.col("cb").cast("double") / F.col("c")).alias("s_bi")
         )
     )
-    return {"unigrams": unigrams, "bigrams": bigrams, "totals": totals}
+    # materialize the (small) model tables, then release the pair cache —
+    # the er.py cache-release discipline (a leaked persist accumulates GC
+    # pressure across repeated calls in one session)
+    lm = {
+        "unigrams": unigrams.localCheckpoint(eager=True),
+        "bigrams": bigrams.localCheckpoint(eager=True),
+        "totals": totals.localCheckpoint(eager=True),
+    }
+    pairs.unpersist()
+    return lm
 
 
 def lm_perplexity(
