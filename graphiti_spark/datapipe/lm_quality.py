@@ -77,6 +77,9 @@ def train_backoff_lm(
                                     pruned to count >= min_count
       totals:   (n_tokens, vocab)   one row — the OOV floor 1/(N+V)
     """
+    from graphiti_spark.session import widen_if_narrow
+
+    target_docs = widen_if_narrow(target_docs, text_col)
     pairs = target_docs.select(F.explode(_pos_pairs(F.col(text_col))).alias("pc"))
     pairs = pairs.select("pc.prev", "pc.cur").persist()
     uni_counts = pairs.groupBy("cur").agg(F.count(F.lit(1)).alias("c"))
@@ -121,7 +124,10 @@ def lm_perplexity(
     perplexity per document; empty documents emit no row. avg_logprob is
     rounded to 6dp and ppl = round(10^(-avg_logprob), 4), making the value a
     pure function of the integer count tables (cross-engine stable)."""
+    from graphiti_spark.session import widen_if_narrow
+
     hint = F.broadcast if broadcast_model else (lambda df: df)
+    docs = widen_if_narrow(docs, id_col)
     pos = docs.select(
         F.col(id_col).alias("id"), F.explode(_pos_pairs(F.col(text_col))).alias("pc")
     ).select("id", "pc.prev", "pc.cur")
