@@ -1166,6 +1166,22 @@ def _q_c4_quality(spark, sf_dir):
     )
 
 
+def _q_line_dedup(spark, sf_dir):
+    """Within-document line dedup keeping the first occurrence (datapipe/
+    quality.dedup_lines_within_doc, the RefinedWeb/CCNet line-wise
+    correction). Oracle: the same first-position filter in DuckDB."""
+    from graphiti_spark.datapipe.quality import dedup_lines_within_doc
+
+    out = dedup_lines_within_doc(_t(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_lines",
+        "n_unique_lines",
+        "removed_frac",
+        "text_clean",
+    )
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (datapipe/dsir.py): hashed unigram+bigram
     bag models (md5 buckets, add-one smoothing) for target = en documents
@@ -1920,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_alloc": _q_unimax_alloc,
         "unimax_sample": _q_unimax_sample,
         "c4_quality": _q_c4_quality,
+        "line_dedup": _q_line_dedup,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "lm_perplexity": _q_lm_perplexity,
@@ -2416,6 +2433,20 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(text, '{{')) AS c4_kept,
                    clean_text
             FROM cl
+        """,
+        "line_dedup": f"""
+            WITH ls AS (SELECT doc_id,
+                          list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+                        FROM documents),
+            fs AS (SELECT doc_id, lines,
+                          list_filter(lines, (x, i) -> list_position(lines, x) = i) AS firsts
+                   FROM ls)
+            SELECT doc_id, len(lines) AS n_lines, len(firsts) AS n_unique_lines,
+                   CASE WHEN len(lines) > 0
+                        THEN round((len(lines) - len(firsts)) / CAST(len(lines) AS DOUBLE), 6)
+                        ELSE 0.0 END AS removed_frac,
+                   coalesce(array_to_string(firsts, chr(10)), '') AS text_clean
+            FROM fs
         """,
         "dsir_weights": f"""
             WITH {_DSIR_WEIGHTS_CTES}

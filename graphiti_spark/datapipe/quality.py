@@ -312,3 +312,33 @@ def c4_clean_and_flags(
         ).alias("c4_kept"),
         clean.alias("clean_text"),
     )
+
+
+def dedup_lines_within_doc(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document line dedup, keeping the FIRST occurrence of each line
+    (the RefinedWeb / CCNet line-wise correction for boilerplate that repeats
+    inside one page: cookie banners, nav blocks, share footers).
+
+    A line survives iff its first occurrence index is its own index —
+    expressed as a pure per-row higher-order filter (map-only, zero shuffle,
+    fusable with the scan). Per-row cost is O(lines²) in the worst case via
+    array_position; web pages are short in lines (the Gopher line metrics
+    above bound the same quantity), so this stays cheap and embarrassingly
+    parallel at corpus scale.
+
+    Returns (id, n_lines, n_unique_lines, removed_frac, text_clean).
+    """
+    lines = _lines_col(F.col(text_col))
+    firsts = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    n, nu = F.size(lines), F.size(firsts)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_lines"),
+        nu.alias("n_unique_lines"),
+        F.when(n > 0, F.round((n - nu) / n.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("removed_frac"),
+        F.concat_ws("\n", firsts).alias("text_clean"),
+    )

@@ -209,3 +209,22 @@ def test_c4_clean_and_flags_hand_cases(spark):
     # fails the terminal-punctuation rule
     assert got["4"]["n_kept_lines"] == 2 and got["4"]["has_curly_brace"]
     assert not got["4"]["c4_kept"]
+
+
+def test_dedup_lines_within_doc_keeps_first_occurrence(spark):
+    from graphiti_spark.datapipe.quality import dedup_lines_within_doc
+
+    docs = spark.createDataFrame(
+        [
+            ("1", "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),
+            ("2", "only line"),
+            ("3", ""),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["id"]: r for r in dedup_lines_within_doc(docs).collect()}
+    assert got["1"]["n_lines"] == 5 and got["1"]["n_unique_lines"] == 3
+    assert got["1"]["text_clean"] == "nav bar\nreal content one\nreal content two"
+    assert got["1"]["removed_frac"] == 0.4
+    assert got["2"]["text_clean"] == "only line" and got["2"]["removed_frac"] == 0.0
+    assert got["3"]["n_lines"] == 0 and got["3"]["removed_frac"] == 0.0
