@@ -174,11 +174,23 @@ def personalized_pagerank(
     )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e_w = e.join(out_deg, "src").localCheckpoint(eager=True)
-    seed_w = 1.0 / len(seeds)
+    # Seeds absent from the edge-derived node set can receive no rank mass:
+    # renormalize the teleport share over the seeds actually PRESENT so the
+    # rank vector still sums to 1 (the convention NetworkX's nstart
+    # normalization uses), and fail loudly when no seed exists at all —
+    # silently returning the all-zero vector would masquerade as "no
+    # relevant nodes". The probe is one column-pruned scan of the (small,
+    # localCheckpoint-bound) node list against a literal IN — cheap.
+    present = {
+        r[0] for r in nodes.filter(F.col("uuid").isin(list(seeds))).collect()
+    }
+    if not present:
+        raise ValueError(f"none of the {len(seeds)} seeds exist in the graph")
+    seed_w = 1.0 / len(present)
     nodes = (
         nodes.withColumn(
             "_seed",
-            F.when(F.col("uuid").isin(list(seeds)), F.lit(seed_w)).otherwise(F.lit(0.0)),
+            F.when(F.col("uuid").isin(list(present)), F.lit(seed_w)).otherwise(F.lit(0.0)),
         )
         .join(
             out_deg.select(F.col("src").alias("uuid"), F.lit(True).alias("_has_out")),

@@ -177,6 +177,8 @@ def hits(
             .localCheckpoint(eager=True)
         )
 
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     auth = None
     for _ in range(n_iter):
         auth = _half_step(hub, "hub", "src", "dst", "authority")

@@ -28,19 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphiti_spark.functions.textstats import tokens_col
+from graphiti_spark.functions.textstats import tokens_col, word_ngrams_col
 
-
-def _word_ngrams(toks, n: int) -> F.Column:
-    if n == 1:
-        return toks
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+# single shared n-gram definition (functions/textstats.py)
+_word_ngrams = word_ngrams_col
 
 
 def contamination_report(

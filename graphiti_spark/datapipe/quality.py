@@ -38,27 +38,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graphiti_spark.functions.textstats import tokens_col
+from graphiti_spark.functions.textstats import tokens_col, word_ngrams_col
+
+# single shared n-gram definition (functions/textstats.py) — the short-doc
+# guard lives in exactly one place
+_ngrams_col = word_ngrams_col
 
 
 def _lines_col(text) -> F.Column:
     """Non-empty '\\n'-split lines (no trim — byte-exact twin in DuckDB)."""
     return F.filter(F.split(text, r"\n"), lambda x: x != "")
-
-
-def _ngrams_col(toks, n: int) -> F.Column:
-    """Overlapping word n-grams joined by single spaces; [] when the doc is
-    shorter than n tokens. sequence() is guarded: Spark's sequence(1, 0)
-    counts DOWN, so the short-doc case must short-circuit to array()."""
-    if n == 1:
-        return toks
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def _sum_len(arr) -> F.Column:

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graphiti_spark.functions.textstats import tokens_col
+from graphiti_spark.functions.textstats import tokens_col, word_ngrams_col
 
 
 def repeated_span_dedup(
@@ -58,14 +58,9 @@ def repeated_span_dedup(
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tk")
     )
-    # k-gram content hashes, built without leaving the array world
-    gram_arr = F.when(
-        F.size("tk") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("tk") - k),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # k-gram content hashes, built without leaving the array world; grams
+    # come from the single shared definition (functions/textstats.py)
+    gram_arr = F.transform(word_ngrams_col(F.col("tk"), k), F.md5)
     occ = base.select("doc_id", F.posexplode(gram_arr).alias("pos", "gram"))
     stats = occ.groupBy("gram").agg(
         F.count(F.lit(1)).alias("cnt"),

@@ -32,6 +32,25 @@ def token_count_col(text: Column | str) -> Column:
     return F.size(tokens_col(text))
 
 
+def word_ngrams_col(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams joined by single spaces; [] when the doc is
+    shorter than n tokens. sequence() is guarded: Spark's sequence(1, 0)
+    counts DOWN, so the short-doc case must short-circuit to array().
+
+    The single definition shared by the quality (Gopher repetition),
+    decontamination (GPT-3 13-gram) and span-dedup (ExactSubstr k-gram)
+    families — one place for the short-doc guard."""
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def bpe_ish_token_count_col(text: Column | str) -> Column:
     """Subword-ish token count: split on the GPT-2-style pretokenizer boundary
     (word / number / punctuation runs). Overcounts vs a real BPE by a stable

@@ -103,13 +103,24 @@ def upsert_table(
     if delete_keys is not None:
         delete_keys = delete_keys.select(F.col(delete_keys.columns[0]).alias(key)).distinct()
     if iceberg_available(spark) and "/" not in target:
-        if delete_keys is not None:
-            delete_keys.createOrReplaceTempView("_delete_keys")
-            spark.sql(
-                f"DELETE FROM {target} WHERE {key} IN (SELECT {key} FROM _delete_keys)"
-            )
-        deduped.createOrReplaceTempView("_upsert_source")
-        spark.sql(merge_into_sql(target, "_upsert_source", deduped.columns, key))
+        # Per-call unique temp-view names: upsert_table is invoked from a
+        # ThreadPoolExecutor (plans/incremental.py _rebuild_affected), and
+        # session-scoped views are shared across threads — a fixed name
+        # would let concurrent upserts merge each other's source rows.
+        vid = _uuid.uuid4().hex
+        dk_view, src_view = f"_delete_keys_{vid}", f"_upsert_source_{vid}"
+        try:
+            if delete_keys is not None:
+                delete_keys.createOrReplaceTempView(dk_view)
+                spark.sql(
+                    f"DELETE FROM {target} WHERE {key} IN (SELECT {key} FROM {dk_view})"
+                )
+            deduped.createOrReplaceTempView(src_view)
+            spark.sql(merge_into_sql(target, src_view, deduped.columns, key))
+        finally:
+            spark.catalog.dropTempView(src_view)
+            if delete_keys is not None:
+                spark.catalog.dropTempView(dk_view)
         return
     # Crash recovery: a prior run killed between rename(target, old) and
     # rename(tmp, target) leaves no target but a stranded ._old_ — restore
