@@ -356,6 +356,54 @@ _LM_PPL_CTES = f"""
                        FROM sc GROUP BY doc_id)"""
 
 
+# Order-3 Stupid-Backoff twin (datapipe/lm_quality at order=3, min_count=1,
+# alpha=0.4, target = en documents): trigram scores are c(trigram)/c(context
+# bigram); the context bigram (prev2, prev) matches the ending-bigram table
+# on (prev=prev2, cur=prev). Backoff CASE starts at the highest order the
+# position's context affords, multiplying 0.4 once per backed-off level.
+_LM_PPL3_CTES = f"""
+            rt3 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            p3 AS (SELECT doc_id, pc.prev2 AS prev2, pc.prev AS prev, pc.cur AS cur FROM
+                     (SELECT doc_id,
+                             unnest(list_transform(generate_series(1, len(t)),
+                               i -> struct_pack(
+                                 prev2 := CASE WHEN i > 2 THEN t[i - 2] ELSE NULL END,
+                                 prev := CASE WHEN i > 1 THEN t[i - 1] ELSE NULL END,
+                                 cur := t[i]))) AS pc
+                      FROM rt3)),
+            tp3 AS (SELECT p3.prev2, p3.prev, p3.cur FROM p3 JOIN documents USING (doc_id) WHERE lang = 'en'),
+            uni3 AS (SELECT cur, count(*) AS c FROM tp3 GROUP BY cur),
+            tot3 AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni3),
+            bic3 AS (SELECT prev, cur, count(*) AS cb FROM tp3
+                     WHERE prev IS NOT NULL GROUP BY prev, cur),
+            bim3 AS (SELECT b.prev, b.cur, CAST(b.cb AS DOUBLE) / u.c AS s2
+                     FROM bic3 b JOIN uni3 u ON b.prev = u.cur),
+            trm3 AS (SELECT t.prev2, t.prev, t.cur, CAST(t.ct AS DOUBLE) / b.cb AS s3 FROM
+                       (SELECT prev2, prev, cur, count(*) AS ct FROM tp3
+                        WHERE prev2 IS NOT NULL GROUP BY prev2, prev, cur) t
+                     JOIN bic3 b ON t.prev2 = b.prev AND t.prev = b.cur),
+            sc3 AS (SELECT p3.doc_id,
+                           log10(CASE
+                             WHEN p3.prev2 IS NOT NULL THEN
+                               CASE WHEN t.s3 IS NOT NULL THEN t.s3
+                                    WHEN b.s2 IS NOT NULL THEN 0.4 * b.s2
+                                    ELSE 0.4 * 0.4 * coalesce(CAST(u.c AS DOUBLE) / tot3.n, 1.0 / (tot3.n + tot3.v))
+                               END
+                             WHEN p3.prev IS NOT NULL THEN
+                               CASE WHEN b.s2 IS NOT NULL THEN b.s2
+                                    ELSE 0.4 * coalesce(CAST(u.c AS DOUBLE) / tot3.n, 1.0 / (tot3.n + tot3.v))
+                               END
+                             ELSE coalesce(CAST(u.c AS DOUBLE) / tot3.n, 1.0 / (tot3.n + tot3.v))
+                           END) AS lp
+                    FROM p3 LEFT JOIN trm3 t ON p3.prev2 = t.prev2 AND p3.prev = t.prev AND p3.cur = t.cur
+                            LEFT JOIN bim3 b ON p3.prev = b.prev AND p3.cur = b.cur
+                            LEFT JOIN uni3 u ON p3.cur = u.cur
+                            CROSS JOIN tot3),
+            lm_ppl3 AS (SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS avg_logprob,
+                               round(pow(10.0, -round(avg(lp), 6)), 4) AS ppl
+                        FROM sc3 GROUP BY doc_id)"""
+
+
 def _pii_count_sql(kind: str) -> str:
     from graphiti_spark.datapipe.pii import PII_PATTERNS
 
@@ -1226,6 +1274,25 @@ def _q_lm_perplexity(spark, sf_dir):
     )
 
 
+def _q_lm_perplexity_tri(spark, sf_dir):
+    """Trigram-order Stupid Backoff (datapipe/lm_quality.py order=3): each
+    position scores at the highest order its context affords, one alpha per
+    backed-off level, KenLM-style count cutoff per level (min_count=1 here).
+    Oracle: full order-3 SQL restatement (trigram/bigram/unigram count
+    tables, two-level backoff CASE, rounding)."""
+    from graphiti_spark.datapipe.lm_quality import lm_perplexity, train_backoff_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_backoff_lm(docs.filter("lang = 'en'"), order=3)
+    out = lm_perplexity(docs, lm)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_logprob",
+        "ppl",
+    )
+
+
 def _q_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail split over the perplexity scores: two
     interpolated-percentile cutoffs (rounded 6dp) + broadcast map-only
@@ -1940,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "lm_perplexity": _q_lm_perplexity,
+        "lm_perplexity_tri": _q_lm_perplexity_tri,
         "ppl_buckets": _q_ppl_buckets,
         "pack_sequences": _q_pack_sequences,
         "ngram_decontam": _q_ngram_decontam,
@@ -2455,6 +2523,10 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": f"""
             WITH {_LM_PPL_CTES}
             SELECT doc_id, n_tokens, avg_logprob, ppl FROM lm_ppl
+        """,
+        "lm_perplexity_tri": f"""
+            WITH {_LM_PPL3_CTES}
+            SELECT doc_id, n_tokens, avg_logprob, ppl FROM lm_ppl3
         """,
         "ppl_buckets": f"""
             WITH {_LM_PPL_CTES},

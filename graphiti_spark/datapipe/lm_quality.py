@@ -7,19 +7,26 @@ by perplexity, and split the corpus into head/middle/tail perplexity buckets.
 
 CCNet uses a KenLM 5-gram; the web-scale scoring rule that needs no
 normalization pass is Brants' Stupid Backoff, which we implement exactly at
-bigram order (the published score, not a new invention):
+parameterized order (the published score, not a new invention):
 
-    S(w_i | w_{i-1}) = count(w_{i-1} w_i) / count(w_{i-1})   if bigram seen
-                     = alpha * S(w_i)                         otherwise
-    S(w_i)           = count(w_i) / N                         if unigram seen
-                     = 1 / (N + V)                            OOV floor
+    S(w_i | w_{i-k+1..i-1}) = count(k-gram) / count(its (k-1)-gram context)
+                              if the k-gram survives the count cutoff
+                            = alpha * S(w_i | w_{i-k+2..i-1})  otherwise
+    S(w_i)                  = count(w_i) / N   if unigram seen
+                            = 1 / (N + V)      OOV floor
 
-with alpha = 0.4 (the paper's value). A document's score is the mean log10 S
-over its token positions (position 1 has no context and takes the unigram
-path without alpha); perplexity = 10^(-mean). The reference repo gates
-quality per-episode with an LLM; this is the deterministic corpus-scale
-stand-in, complementing `datapipe.dsir` (importance RATIO vs a target) with
-an absolute target-LM fluency score.
+with alpha = 0.4 (the paper's value). Scoring at each token position starts
+at the HIGHEST order its left context affords (position 1 has no context
+and takes the unigram path without alpha; position 2 starts at bigram, ...)
+and each unseen level multiplies alpha once on the way down — exactly
+Brants' rule. `min_count` prunes every level >= 2, the KenLM-style count
+cutoff (`--prune`) that bounds model-table size on web-scale targets.
+A document's score is the mean log10 S over its token positions;
+perplexity = 10^(-mean). The reference repo gates quality per-episode with
+an LLM; this is the deterministic corpus-scale stand-in, complementing
+`datapipe.dsir` (importance RATIO vs a target) with an absolute target-LM
+fluency score. Default order stays 2 (the round-3 contract); order=3 is
+oracle-verified, and the same shape extends to CCNet's 5.
 
 Scale shape at 100 TB:
  - the LM is trained on the TARGET corpus only (CCNet trains on Wikipedia),
@@ -48,67 +55,113 @@ from graphiti_spark.functions.textstats import tokens_col
 STUPID_BACKOFF_ALPHA = 0.4
 
 
-def _pos_pairs(text_col: Column) -> Column:
-    """array<struct<prev,cur>> of (context, token) per position; position 1
-    has prev = NULL. Pure column expression (codegen, no Python)."""
+def _ctx_cols(order: int) -> list[str]:
+    """Context column names, nearest first: prev, prev2, ..., prev{order-1}."""
+    return ["prev" if j == 1 else f"prev{j}" for j in range(1, order)]
+
+
+def _level_name(k: int) -> str:
+    return {1: "unigrams", 2: "bigrams", 3: "trigrams"}.get(k, f"{k}grams")
+
+
+def _pos_ctx(text_col: Column, order: int) -> Column:
+    """array<struct<prev..prev{order-1}, cur>> per token position; context
+    slots left of the document start are NULL. Pure column expression
+    (codegen, no Python). For order=2 this is the round-3 (prev, cur) pair."""
     toks = tokens_col(text_col)
     n = F.size(toks)
-    pairs = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.struct(
-            F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
-            F.element_at(toks, i).alias("cur"),
-        ),
-    )
+
+    def _mk(i):
+        fields = [
+            F.when(i > j, F.element_at(toks, i - j)).alias(name)
+            for j, name in enumerate(_ctx_cols(order), start=1)
+        ]
+        return F.struct(*fields, F.element_at(toks, i).alias("cur"))
+
+    pairs = F.transform(F.sequence(F.lit(1), n), _mk)
     # empty docs yield an empty array (explode emits no rows for them)
-    return F.when(n > 0, pairs).otherwise(
-        F.array().cast("array<struct<prev:string,cur:string>>")
-    )
+    typ = ",".join(f"{c}:string" for c in _ctx_cols(order) + ["cur"])
+    return F.when(n > 0, pairs).otherwise(F.array().cast(f"array<struct<{typ}>>"))
 
 
 def train_backoff_lm(
-    target_docs: DataFrame, text_col: str = "text", min_count: int = 1
+    target_docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    order: int = 2,
 ) -> dict[str, DataFrame]:
-    """Bigram Stupid-Backoff model from the target corpus.
+    """Stupid-Backoff model of the given `order` from the target corpus.
 
-    Returns three small DataFrames (model tables, broadcast at score time):
-      unigrams: (cur, s_uni)        s_uni = count(w)/N   (MLE)
-      bigrams:  (prev, cur, s_bi)   s_bi  = count(prev cur)/count(prev),
-                                    pruned to count >= min_count
-      totals:   (n_tokens, vocab)   one row — the OOV floor 1/(N+V)
+    Returns small DataFrames (model tables, broadcast at score time):
+      unigrams: (cur, s_uni)                s_uni = count(w)/N   (MLE)
+      bigrams:  (prev, cur, s2)             s_k = count(k-gram) /
+      trigrams: (prev2, prev, cur, s3)            count((k-1)-gram context),
+      ...                                   pruned to count >= min_count at
+                                            every level k >= 2 (KenLM-style
+                                            count cutoff)
+      totals:   (n_tokens, vocab)           one row — the OOV floor 1/(N+V)
+      order:    the trained order (int, not a DataFrame)
+
+    The denominator of level k is the count of the context (k-1)-gram over
+    ALL its occurrences in the token stream (including document-final ones)
+    — Brants' f(w_{i-k+1..i}) / f(w_{i-k+1..i-1}) exactly. All count tables
+    are Heaps-law bounded by the TARGET corpus and shrink further under
+    `min_count`; nothing here touches the 100 TB raw side.
     """
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
     from graphiti_spark.session import widen_if_narrow
 
+    ctx = _ctx_cols(order)
     target_docs = widen_if_narrow(target_docs, text_col)
-    pairs = target_docs.select(F.explode(_pos_pairs(F.col(text_col))).alias("pc"))
-    pairs = pairs.select("pc.prev", "pc.cur").persist()
-    uni_counts = pairs.groupBy("cur").agg(F.count(F.lit(1)).alias("c"))
-    totals = uni_counts.agg(
+    pairs = target_docs.select(F.explode(_pos_ctx(F.col(text_col), order)).alias("pc"))
+    pairs = pairs.select(*[f"pc.{c}" for c in ctx], "pc.cur").persist()
+    # k-gram occurrence counts keyed as ENDING at a position: level k is
+    # (prev{k-1}, ..., prev, cur) with prev{k-1} non-null. counts[k-1] keyed
+    # this way doubles as level k's context-denominator table after a
+    # one-slot shift (context's newest token prev -> the ending gram's cur).
+    counts: dict[int, DataFrame] = {}
+    for k in range(1, order + 1):
+        keys = list(reversed(ctx[: k - 1])) + ["cur"]
+        grams = pairs if k == 1 else pairs.filter(F.col(ctx[k - 2]).isNotNull())
+        counts[k] = grams.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+    totals = counts[1].agg(
         F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
     )
     n_tok = F.col("n_tokens").cast("double")
-    unigrams = uni_counts.crossJoin(F.broadcast(totals)).select(
+    unigrams = counts[1].crossJoin(F.broadcast(totals)).select(
         "cur", (F.col("c").cast("double") / n_tok).alias("s_uni")
     )
-    bigrams = (
-        pairs.filter(F.col("prev").isNotNull())
-        .groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).alias("cb"))
-        .filter(F.col("cb") >= min_count)
-        .join(uni_counts.select(F.col("cur").alias("prev"), "c"), "prev")
-        .select(
-            "prev", "cur", (F.col("cb").cast("double") / F.col("c")).alias("s_bi")
+    lm: dict[str, DataFrame] = {
+        "unigrams": unigrams.localCheckpoint(eager=True),
+        "totals": totals.localCheckpoint(eager=True),
+    }
+    for k in range(2, order + 1):
+        # shift the (k-1)-gram counts into context position: ending-gram
+        # field cur -> prev, prev -> prev2, ... (nearest-first renumber)
+        denom = counts[k - 1]
+        renames = {"cur": "prev", **{ctx[j]: ctx[j + 1] for j in range(k - 2)}}
+        denom = denom.select(
+            *[F.col(old).alias(new) for old, new in renames.items()],
+            F.col("c").alias("c_ctx"),
         )
-    )
+        keys = list(reversed(ctx[: k - 1]))
+        lm[_level_name(k)] = (
+            counts[k]
+            .filter(F.col("c") >= min_count)
+            .join(denom, keys)
+            .select(
+                *keys,
+                "cur",
+                (F.col("c").cast("double") / F.col("c_ctx")).alias(f"s{k}"),
+            )
+            .localCheckpoint(eager=True)
+        )
     # materialize the (small) model tables, then release the pair cache —
     # the er.py cache-release discipline (a leaked persist accumulates GC
     # pressure across repeated calls in one session)
-    lm = {
-        "unigrams": unigrams.localCheckpoint(eager=True),
-        "bigrams": bigrams.localCheckpoint(eager=True),
-        "totals": totals.localCheckpoint(eager=True),
-    }
     pairs.unpersist()
+    lm["order"] = order  # type: ignore[assignment]
     return lm
 
 
@@ -123,26 +176,41 @@ def lm_perplexity(
     """(id, n_tokens, avg_logprob, ppl) — mean log10 Stupid-Backoff score and
     perplexity per document; empty documents emit no row. avg_logprob is
     rounded to 6dp and ppl = round(10^(-avg_logprob), 4), making the value a
-    pure function of the integer count tables (cross-engine stable)."""
+    pure function of the integer count tables (cross-engine stable).
+
+    Scoring joins one broadcast model table per level (order-1 gram joins +
+    the unigram join) and aggregates once on doc id — the corpus never
+    shuffles on a gram key regardless of order."""
     from graphiti_spark.session import widen_if_narrow
 
+    order = lm.get("order", 2)
+    ctx = _ctx_cols(order)
     hint = F.broadcast if broadcast_model else (lambda df: df)
     docs = widen_if_narrow(docs, id_col)
     pos = docs.select(
-        F.col(id_col).alias("id"), F.explode(_pos_pairs(F.col(text_col))).alias("pc")
-    ).select("id", "pc.prev", "pc.cur")
+        F.col(id_col).alias("id"),
+        F.explode(_pos_ctx(F.col(text_col), order)).alias("pc"),
+    ).select("id", *[f"pc.{c}" for c in ctx], "pc.cur")
     floor = F.lit(1.0) / (
         F.col("n_tokens").cast("double") + F.col("vocab").cast("double")
     )
     s_uni_floor = F.coalesce(F.col("s_uni"), floor)
-    score = (
-        F.when(F.col("s_bi").isNotNull(), F.col("s_bi"))
-        .when(F.col("prev").isNull(), s_uni_floor)
-        .otherwise(F.lit(alpha) * s_uni_floor)
-    )
+    # Brants' cascade, built bottom-up: score_at_level(1) = unigram/floor;
+    # score_at_level(k) = s_k if seen else alpha * score_at_level(k-1); a
+    # position scores at the highest level its context affords (context
+    # availability is monotone, so the when-chain lands exactly there).
+    score = s_uni_floor
+    for k in range(2, order + 1):
+        score = F.when(
+            F.col(ctx[k - 2]).isNotNull(),
+            F.coalesce(F.col(f"s{k}"), F.lit(alpha) * score),
+        ).otherwise(score)
+    scored = pos
+    for k in range(2, order + 1):
+        keys = list(reversed(ctx[: k - 1])) + ["cur"]
+        scored = scored.join(hint(lm[_level_name(k)]), keys, "left")
     scored = (
-        pos.join(hint(lm["bigrams"]), ["prev", "cur"], "left")
-        .join(hint(lm["unigrams"]), "cur", "left")
+        scored.join(hint(lm["unigrams"]), "cur", "left")
         .crossJoin(hint(lm["totals"]))
         .select("id", F.log10(score).alias("lp"))
     )

@@ -17,11 +17,11 @@ import pytest
 TARGET = [("t1", "a b a"), ("t2", "b a")]
 
 
-def _score(spark, text: str, min_count: int = 1):
+def _score(spark, text: str, min_count: int = 1, order: int = 2):
     from graphiti_spark.datapipe.lm_quality import lm_perplexity, train_backoff_lm
 
     tgt = spark.createDataFrame(TARGET, "doc_id string, text string")
-    lm = train_backoff_lm(tgt, min_count=min_count)
+    lm = train_backoff_lm(tgt, min_count=min_count, order=order)
     docs = spark.createDataFrame([("x", text)], "doc_id string, text string")
     rows = lm_perplexity(docs, lm).collect()
     return rows
@@ -74,6 +74,66 @@ def test_empty_doc_emits_no_row_and_fluent_beats_gibberish(spark):
     assert set(got) == {"fluent", "gibberish"}
     assert got["fluent"]["ppl"] < got["gibberish"]["ppl"]
     assert got["gibberish"]["ppl"] > 1.0  # scores are probabilities ≤ 1
+
+
+def test_trigram_all_levels(spark):
+    # order=3 counts from TARGET: trigram (a b a):1, s3(a | a b) = 1/1.
+    # "a b a": [uni(a)=0.6, s2(b|a)=1/3, s3(a|a b)=1.0] — each position
+    # scores at the highest order its context affords, no alpha when seen.
+    rows = _score(spark, "a b a", order=3)
+    avg, ppl = _expect([math.log10(0.6), math.log10(1 / 3), math.log10(1.0)])
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["avg_logprob"] == pytest.approx(avg, abs=1e-9)
+    assert rows[0]["ppl"] == pytest.approx(ppl, abs=1e-9)
+
+
+def test_trigram_backoff_one_alpha_per_level(spark):
+    # "b a b": trigram (b a b) unseen -> alpha * s2(b|a) = 0.4 * (1/3);
+    # position 2 starts at bigram (s2(a|b) = 1.0, seen, no alpha).
+    rows = _score(spark, "b a b", order=3)
+    avg, ppl = _expect([math.log10(0.4), math.log10(1.0), math.log10(0.4 / 3)])
+    assert rows[0]["avg_logprob"] == pytest.approx(avg, abs=1e-9)
+    assert rows[0]["ppl"] == pytest.approx(ppl, abs=1e-9)
+
+
+def test_trigram_oov_context_double_backoff(spark):
+    # "c a b": pos1 OOV floor (no alpha); pos2 (c,a) bigram unseen ->
+    # 0.4*uni(a); pos3 trigram (c a b) unseen -> 0.4 * s2(b|a) = 0.4/3.
+    rows = _score(spark, "c a b", order=3)
+    avg, ppl = _expect(
+        [math.log10(1 / 7), math.log10(0.4 * 0.6), math.log10(0.4 / 3)]
+    )
+    assert rows[0]["avg_logprob"] == pytest.approx(avg, abs=1e-9)
+    assert rows[0]["ppl"] == pytest.approx(ppl, abs=1e-9)
+
+
+def test_trigram_min_count_prunes_every_level(spark):
+    # min_count=2 prunes trigram (a b a) (count 1) AND bigram (a b) (count
+    # 1), keeps (b a) (count 2): "a b a" -> [uni(a)=0.6,
+    # 0.4*uni(b)=0.16, alpha*s2(a|b)=0.4*1.0] — KenLM-style cutoff at
+    # every level >= 2.
+    rows = _score(spark, "a b a", min_count=2, order=3)
+    avg, ppl = _expect([math.log10(0.6), math.log10(0.16), math.log10(0.4)])
+    assert rows[0]["avg_logprob"] == pytest.approx(avg, abs=1e-9)
+    assert rows[0]["ppl"] == pytest.approx(ppl, abs=1e-9)
+
+
+def test_bigram_unchanged_and_order_validation(spark):
+    import pyspark.sql.functions as F
+
+    from graphiti_spark.datapipe.lm_quality import train_backoff_lm
+
+    tgt = spark.createDataFrame(TARGET, "doc_id string, text string")
+    with pytest.raises(ValueError):
+        train_backoff_lm(tgt, order=1)
+    # order=3 on a 2-token doc: no trigram rows, but bigram/unigram tables
+    # unchanged vs order=2 training
+    lm2 = train_backoff_lm(tgt, order=2)
+    lm3 = train_backoff_lm(tgt, order=3)
+    b2 = {(r["prev"], r["cur"]): r["s2"] for r in lm2["bigrams"].collect()}
+    b3 = {(r["prev"], r["cur"]): r["s2"] for r in lm3["bigrams"].collect()}
+    assert b2 == b3
+    assert lm3["trigrams"].filter(F.col("prev2").isNull()).count() == 0
 
 
 def test_ppl_buckets_terciles(spark):
