@@ -35,9 +35,10 @@ from graphiti_spark.functions.hashing import (
     simhash_udf,
 )
 from graphiti_spark.functions.textstats import tokens_col
+from graphiti_spark.session import session_pandas_udf
 
 
-@F.pandas_udf(DoubleType())
+@session_pandas_udf(DoubleType())
 def _set_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Exact set-Jaccard over two token-array columns, one Arrow batch.
 

@@ -25,6 +25,8 @@ from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import functions as F
+
+from graphiti_spark.session import session_pandas_udf
 from pyspark.sql.types import StringType
 
 from graphiti_spark.functions.normalize import (
@@ -85,12 +87,12 @@ def episode_uuid_py(url: str) -> str:
     return str(uuid.uuid5(_episode_ns(), url))
 
 
-@F.pandas_udf(StringType())
+@session_pandas_udf(StringType())
 def entity_uuid_udf(name: pd.Series, group_id: pd.Series) -> pd.Series:
     return pd.Series([entity_uuid_py(n, g) for n, g in zip(name, group_id)])
 
 
-@F.pandas_udf(StringType())
+@session_pandas_udf(StringType())
 def identity_normalize_udf(name: pd.Series) -> pd.Series:
     """Column form of identity_normalize_py — the string two names must share
     to be the same entity uuid (used by the ER catalog so blocking/scoring
@@ -98,12 +100,12 @@ def identity_normalize_udf(name: pd.Series) -> pd.Series:
     return pd.Series([identity_normalize_py(n) for n in name])
 
 
-@F.pandas_udf(StringType())
+@session_pandas_udf(StringType())
 def edge_uuid_udf(src: pd.Series, dst: pd.Series, name: pd.Series, group_id: pd.Series) -> pd.Series:
     return pd.Series([edge_uuid_py(s, d, n, g) for s, d, n, g in zip(src, dst, name, group_id)])
 
 
-@F.pandas_udf(StringType())
+@session_pandas_udf(StringType())
 def episode_uuid_udf(url: pd.Series) -> pd.Series:
     ns = _episode_ns()
     return pd.Series([str(uuid.uuid5(ns, u)) for u in url])

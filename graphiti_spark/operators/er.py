@@ -38,10 +38,10 @@ from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
 from graphiti_spark.config import DEFAULT_CONFIG, PipelineConfig
 from graphiti_spark.functions.embeddings import hashed_ngram_embedding_udf
 from graphiti_spark.functions.hashing import minhash_cols
-from graphiti_spark.session import plan_width
+from graphiti_spark.session import plan_width, session_pandas_udf
 
 
-@F.pandas_udf(DoubleType())
+@session_pandas_udf(DoubleType())
 def fuzzy_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """difflib SequenceMatcher.ratio on normalized names
     (node_operations.py:82-103 parity)."""

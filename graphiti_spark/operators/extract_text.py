@@ -24,6 +24,8 @@ import re
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from graphiti_spark.session import session_pandas_udf
 from pyspark.sql.types import StringType
 
 # Elements whose entire subtree is boilerplate / non-content.
@@ -64,7 +66,7 @@ def extract_text_py(html_bytes: bytes | None) -> str:
     return _NL_RE.sub("\n", out).strip()
 
 
-@F.pandas_udf(StringType())
+@session_pandas_udf(StringType())
 def extract_text_udf(html_bytes: pd.Series) -> pd.Series:
     return pd.Series([extract_text_py(b) for b in html_bytes])
 

@@ -26,6 +26,8 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from graphiti_spark.session import session_pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
 
 from graphiti_spark.functions.ids import entity_uuid_udf
@@ -243,12 +245,12 @@ _MENTION_SCHEMA = ArrayType(
 )
 
 
-@F.pandas_udf(_MENTION_SCHEMA)
+@session_pandas_udf(_MENTION_SCHEMA)
 def extract_mentions_udf(text: pd.Series) -> pd.Series:
     return pd.Series([extract_mentions_py(t if t is not None else "") for t in text])
 
 
-@F.pandas_udf(_MENTION_SCHEMA)
+@session_pandas_udf(_MENTION_SCHEMA)
 def extract_mentions_src_udf(text: pd.Series, source: pd.Series) -> pd.Series:
     return pd.Series(
         [

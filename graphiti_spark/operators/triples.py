@@ -28,6 +28,8 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from graphiti_spark.session import session_pandas_udf
 from pyspark.sql.types import ArrayType, BooleanType, StringType, StructField, StructType
 
 from graphiti_spark.functions.ids import edge_uuid_udf, entity_uuid_udf
@@ -289,12 +291,12 @@ _TRIPLE_SCHEMA = ArrayType(
 )
 
 
-@F.pandas_udf(_TRIPLE_SCHEMA)
+@session_pandas_udf(_TRIPLE_SCHEMA)
 def extract_triples_udf(text: pd.Series) -> pd.Series:
     return pd.Series([extract_triples_py(t if t is not None else "") for t in text])
 
 
-@F.pandas_udf(_TRIPLE_SCHEMA)
+@session_pandas_udf(_TRIPLE_SCHEMA)
 def extract_triples_src_udf(text: pd.Series, source: pd.Series) -> pd.Series:
     return pd.Series(
         [

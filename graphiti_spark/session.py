@@ -55,6 +55,49 @@ def widen_if_narrow(df, key: str):
     return df
 
 
+def session_pandas_udf(returnType):
+    """`F.pandas_udf` for MODULE-LEVEL UDFs, re-bound per SparkContext.
+
+    pyspark's UserDefinedFunction caches its JVM UserDefinedPythonFunction
+    forever (`_judf_placeholder`), and that object embeds the CREATING
+    context's PythonAccumulatorV2 — including the host:port of that
+    context's Python accumulator server. A module-level `@F.pandas_udf`
+    therefore goes stale when the application stops one SparkSession and
+    starts another (a bench or notebook pattern): every Python task run
+    under the new session ships its accumulator update to the DEAD server,
+    and the DAGScheduler logs `Failed to update accumulator 0 ...
+    Broken pipe` per task (the BENCH_r03 artifact pollution; profiling
+    accumulators are silently lost too).
+
+    This decorator keeps one compiled UDF per live SparkContext (keyed by
+    context identity, stale entries dropped), so the plan-side cost is
+    identical within a session and a session restart transparently rebinds.
+    """
+    import functools
+
+    from pyspark.sql import functions as F
+
+    def deco(fn):
+        cache: dict[int, object] = {}
+
+        @functools.wraps(fn)
+        def call(*cols):
+            from pyspark.core.context import SparkContext
+
+            sc = SparkContext._active_spark_context
+            key = id(sc)
+            udf = cache.get(key)
+            if udf is None:
+                cache.clear()  # at most one live context per process
+                udf = F.pandas_udf(returnType)(fn)
+                cache[key] = udf
+            return udf(*cols)
+
+        return call
+
+    return deco
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship graphiti_spark to executor Python workers (the in-session twin of
     ``spark-submit --py-files graphiti_spark.zip``). Without it, pandas UDFs

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
-from graphiti_spark.session import plan_width
+from graphiti_spark.session import plan_width, session_pandas_udf
 
 _HEAD = (
     "<html><head><title>Doc</title><script>var t=1;</script>"
@@ -74,7 +74,7 @@ def _build_html(doc_id: int, text: str) -> bytes:
     return (_HEAD + _build_links(doc_id) + _NAV_CLOSE + paras + _TAIL).encode("utf-8")
 
 
-@F.pandas_udf(BinaryType())
+@session_pandas_udf(BinaryType())
 def _build_html_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
     return pd.Series(
         [_build_html(int(d), t if t is not None else "") for d, t in zip(doc_id, text)],
