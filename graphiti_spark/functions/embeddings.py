@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
 
 from graphiti_spark.config import DEFAULT_CONFIG
+from graphiti_spark.session import session_pandas_udf
 
 _DIM = DEFAULT_CONFIG.embedding_dim
 _N = DEFAULT_CONFIG.embedding_ngram
@@ -46,7 +47,7 @@ def hashed_ngram_embedding_py(text: str, dim: int = _DIM, n: int = _N) -> list[f
     return [float(x) for x in vec]
 
 
-@F.pandas_udf(ArrayType(FloatType()))
+@session_pandas_udf(ArrayType(FloatType()))
 def hashed_ngram_embedding_udf(text: pd.Series) -> pd.Series:
     return pd.Series([hashed_ngram_embedding_py(t if t is not None else "") for t in text])
 

@@ -166,6 +166,268 @@ def typed_pages_from_documents(
     )
 
 
+# ---------------------------------------------------------------------------
+# Webtext-shaped corpus (round-4: VERDICT r3 item #1). The raw driver docs
+# are single-line, punctuation-free ~50-word strings — they defeat the C4
+# line filter (every char stripped -> the bench measured only the drop
+# path) and give the ER blocker an adversarial ~31-token vocabulary (a 10%
+# incremental delta touches ~every canonical cluster). This generator maps
+# each driver doc to a deterministic multi-line page with the five shapes
+# real webtext has:
+#   - punctuated >= 5-word sentences with Gopher stopwords woven in (the
+#     C4/Gopher KEEP paths fire);
+#   - zipfian reuse of a closed boilerplate-paragraph pool (paragraph /
+#     span / minhash dedup find real repeats, hot keys skew like the web);
+#   - planted near-duplicate documents (one word changed -> Jaccard ~0.97);
+#   - a deterministic minority per drop rule (javascript lines, short
+#     lines, lorem ipsum, '{', bullet lists, ellipsis spam, repetition,
+#     stopword-free docs, sub-50-word docs) so every gate rule fires BOTH
+#     ways on the bench corpus;
+#   - a long-tail entity vocabulary for the page/KG path (rank drawn
+#     log-uniformly over ~50k names: density ~ 1/rank, a zipf head of hot
+#     entities plus a unique-ish tail), so the incremental delta's
+#     affected neighborhood is realistic instead of all-clusters.
+# Everything is a pure function of (doc_id, text) — identical bytes at any
+# parallelism, the same determinism contract as pages_from_documents.
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_POOL = 256  # closed pool; entry j's frequency ~ 1/(j+1)
+
+_STOP_TEMPLATES = [
+    "The {0} and the {1} have been moved to the {2} archive.",
+    "Most of the {0} teams that work with {1} data review the {2} backlog.",
+    "We have asked the {0} group to align the {1} plan with the {2} budget.",
+    "That report covers the {0} rollout and the {1} migration of the {2} fleet.",
+    "The {0} council voted to extend the {1} contract with the {2} vendor.",
+    "Readers of the {0} digest have noted that the {1} index tracks the {2} market.",
+]
+
+
+def _bp_paragraph(j: int) -> str:
+    """Boilerplate pool entry j — pure function, punctuated, >= 5 words."""
+    return (
+        f"Subscribe to the site{j} newsletter and share this story with the "
+        f"channel{j % 7} community to support the desk{j % 13} editors."
+    )
+
+
+def _zipf_rank(h: int, n: int) -> int:
+    """Log-uniform rank in [1, n]: P(rank = r) ~ 1/r (zipf s=1 head+tail)."""
+    import math
+
+    u = (h % 10_000_019) / 10_000_019.0
+    return min(n, max(1, int(math.exp(u * math.log(n)))))
+
+
+def _webtext_base(doc_id: int, text: str) -> str:
+    """The multi-line page body for one doc (before near-dup planting)."""
+    words = [w for w in (text or "").split() if w] or ["empty", "page", "stub"]
+    h = int(hashlib.md5(f"wt:{doc_id}".encode()).hexdigest()[:12], 16)
+
+    # deterministic minorities, one per drop rule (disjoint-ish by modulus)
+    short_doc = h % 41 == 0
+    no_stopwords = h % 11 == 3
+    bullet_doc = h % 19 == 0
+    ellipsis_doc = h % 37 == 0
+    repeat_doc = h % 13 == 0
+    lorem_doc = h % 31 == 0
+    curly_doc = h % 29 == 0
+    js_doc = h % 17 == 0
+    shortline_doc = h % 23 == 0
+    symbol_doc = h % 43 == 7  # >20% non-alphabetic words -> ok_alpha_words fails
+    longword_doc = h % 47 == 5  # mean word length > 10 -> ok_mean_word_len fails
+
+    if short_doc:
+        return " ".join(words[:20]) + "."
+    if symbol_doc:
+        toks = [w if j % 3 else "####" for j, w in enumerate((words * 12)[:60])]
+        return " ".join(toks) + "."
+    if longword_doc:
+        toks = [(words[j % len(words)] * 3)[:14] for j in range(55)]
+        return " ".join(toks) + "."
+
+    n_sent = 6 + h % 8
+    sents: list[str] = []
+    for k in range(n_sent):
+        hk = int(hashlib.md5(f"wt:{doc_id}:{k}".encode()).hexdigest()[:12], 16)
+        w = [words[(hk + j) % len(words)] for j in range(3)]
+        if no_stopwords:
+            sents.append(
+                " ".join(words[(hk + j) % len(words)] for j in range(9)).capitalize() + "."
+            )
+        else:
+            tmpl = _STOP_TEMPLATES[hk % len(_STOP_TEMPLATES)]
+            sents.append(tmpl.format(*w))
+    if repeat_doc:
+        sents = [sents[0]] * (n_sent - 2) + sents[:2]
+    if ellipsis_doc:
+        sents = [s[:-1] + "..." for s in sents]
+
+    # paragraphs of 1-3 sentences -> '\n'-separated lines
+    lines: list[str] = []
+    i = 0
+    while i < len(sents):
+        take = 1 + (h + i) % 3
+        lines.append(" ".join(sents[i : i + take]))
+        i += take
+    if bullet_doc:
+        lines = ["- " + ln for ln in lines]
+
+    # zipfian boilerplate reuse: ~60% of docs carry one pool paragraph
+    if h % 5 < 3:
+        j = _zipf_rank(h // 7, _BOILERPLATE_POOL) - 1
+        lines.insert(min(1, len(lines)), _bp_paragraph(j))
+    if js_doc:
+        lines.append("Please enable javascript to read the full comments section.")
+    if shortline_doc:
+        lines.append("Read more")
+    if lorem_doc:
+        lines.insert(0, "Lorem ipsum dolor sit amet, consectetur adipiscing elit sed do.")
+    if curly_doc:
+        lines.append("function track() { return window.analytics.page(); }")
+    return "\n".join(lines)
+
+
+def _webtext_text(doc_id: int, text: str, all_text: "pd.Series | None" = None) -> str:
+    """Final webtext body: ~1/15 of docs are a planted near-duplicate of an
+    EARLIER SAME-BUCKET doc (one token swapped -> token-set Jaccard ~0.97),
+    the rest are their own `_webtext_base`. The source is always within the
+    doc's own 64-id bucket (`doc_id // 64`), so the result is a pure
+    function of the bucket's rows — independent of parallelism, partition
+    count, or Arrow batch boundaries, because `webtext_documents` keeps
+    buckets atomic."""
+    h = int(hashlib.md5(f"wtd:{doc_id}".encode()).hexdigest()[:12], 16)
+    lookback = min(5, doc_id % 64)
+    if lookback > 0 and h % 15 == 0 and all_text is not None:
+        src_id = doc_id - 1 - h % lookback
+        src_text = all_text.get(src_id)
+        if src_text is not None:
+            base = _webtext_base(src_id, src_text)
+            toks = base.split(" ")
+            toks[h % len(toks)] = f"variant{doc_id}"
+            return " ".join(toks)
+    return _webtext_base(doc_id, text)
+
+
+def webtext_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webtext-shaped documents table (doc_id, text, lang, source, n_chars)
+    derived deterministically from the driver's documents.parquet — the
+    bench corpus for the corpus-curation families (quality gates, dedup,
+    span/paragraph dedup, LM perplexity, packing).
+
+    The near-dup branch needs the SOURCE doc's words. Sources are chosen
+    strictly within the doc's own 64-id bucket, and the scan is
+    repartitioned ON the bucket key so a bucket is never split across
+    tasks; with bucket size 64 << Arrow's maxRecordsPerBatch (10k) and
+    bench-scale partitions well under 10k rows, a bucket is never split
+    across UDF batches either, so the lookup resolves and the output is a
+    pure function of the input rows at ANY parallelism (the determinism
+    contract the scaling bench relies on). If a partition ever exceeded
+    the Arrow batch size, an unresolvable source falls back to the doc's
+    own base text — still deterministic given fixed batching, but pin
+    maxRecordsPerBatch if that regime matters."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    width = max(plan_width(spark), par)
+
+    @F.pandas_udf("string")
+    def _wt_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        by_id = pd.Series(text.values, index=doc_id.values)
+        return pd.Series(
+            [
+                _webtext_text(int(d), t if t is not None else "", by_id)
+                for d, t in zip(doc_id, text)
+            ]
+        )
+
+    bucketed = docs.repartition(width, (F.col("doc_id") / 64).cast("long")).sortWithinPartitions(
+        "doc_id"
+    )
+    return bucketed.select(
+        "doc_id",
+        _wt_udf(F.col("doc_id"), F.col("text")).alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text"))
+
+
+_ENTITY_VOCAB = 50_000
+_FIRST = [
+    "alder", "birch", "cedar", "dunes", "ember", "fjord", "glade", "harbor",
+    "irwin", "jasper", "kestrel", "lumen", "maple", "norden", "onyx", "pillar",
+    "quartz", "rowan", "sable", "tamsin", "umber", "vesper", "willow", "xenia",
+    "yarrow", "zephyr", "arbor", "basil", "corin", "delta",
+]
+_LAST = [
+    "works", "labs", "forge", "mills", "fields", "stone", "crest", "haven",
+    "ridge", "brook", "gate", "moor", "fen", "shore", "vale", "holt",
+    "strand", "cliff", "marsh", "point", "cove", "bluff", "heath", "glen",
+]
+
+
+def _entity_name(rank: int) -> str:
+    """Entity name for a zipf rank — pure, capitalized, NER-recognizable.
+    ~50k distinct two-token names (30 x 24 x suffix variants)."""
+    a = _FIRST[rank % len(_FIRST)].capitalize()
+    b = _LAST[(rank // len(_FIRST)) % len(_LAST)].capitalize()
+    suffix = rank // (len(_FIRST) * len(_LAST))
+    return f"{a} {b}{suffix}" if suffix else f"{a} {b}"
+
+
+def _build_webtext_html(doc_id: int, text: str) -> bytes:
+    """Page html whose body paragraphs carry SVO sentences over the
+    LONG-TAIL entity vocabulary (log-uniform rank: a hot head plus a
+    unique-ish tail) — the realistic shape for the KG/incremental path, vs
+    `_build_html`'s adversarial ~31-token entity vocabulary."""
+    words = (text or "").split() or ["empty", "page"]
+    n_sent = 3 + int(hashlib.md5(f"wph:{doc_id}".encode()).hexdigest()[:4], 16) % 4
+    sents = []
+    for k in range(n_sent):
+        h = int(hashlib.md5(f"wpe:{doc_id}:{k}".encode()).hexdigest()[:12], 16)
+        subj = _entity_name(_zipf_rank(h, _ENTITY_VOCAB))
+        obj = _entity_name(_zipf_rank(h // 11, _ENTITY_VOCAB))
+        if subj == obj:
+            obj = _entity_name(1 + (_zipf_rank(h // 11, _ENTITY_VOCAB) % _ENTITY_VOCAB))
+        verb = _VERBS[h % len(_VERBS)]
+        filler = words[h % len(words)]
+        sents.append(f"{subj} {verb} {obj} near the {filler} office.")
+    paras = "".join(f"<p>{s}</p>" for s in sents)
+    return (_HEAD + _build_links(doc_id) + _NAV_CLOSE + paras + _TAIL).encode("utf-8")
+
+
+def webtext_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint-shaped pages (url, warc_ts, html, text, lang) whose
+    extracted entities follow a zipf long tail — the realistic-delta
+    corpus for the incremental-ingest benchmark."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(plan_width(spark), "doc_id")
+
+    @F.pandas_udf(BinaryType())
+    def _html_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _build_webtext_html(int(d), t if t is not None else "")
+                for d, t in zip(doc_id, text)
+            ],
+            dtype=object,
+        )
+
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/wt/"), F.col("doc_id")
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("doc_id") % 525600)
+        ).alias("warc_ts"),
+        _html_udf(F.col("doc_id"), F.col("text")).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     """Pages table from the driver-provided documents. ``replicate`` unions
     `replicate` deterministic variants (distinct doc_id offsets -> distinct
