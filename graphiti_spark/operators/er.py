@@ -61,8 +61,19 @@ _SCORE_SCHEMA = StructType(
 )
 
 
-def make_score_pair_udf(config: PipelineConfig = DEFAULT_CONFIG):
+def make_score_pair_udf(config: PipelineConfig = DEFAULT_CONFIG, embed_fn=None):
     """Build the Arrow-batched pair scorer with gates DERIVED from config.
+
+    ``embed_fn`` is the real-model injection point for the ER cosine gate
+    (README "Plugging in real models"): a batch callable
+    ``list[str] -> (n, d) ndarray`` of L2-NORMALIZED vectors, invoked inside
+    the Arrow batch exactly where a sentence-transformer's ``model.encode``
+    would run (load the model lazily at first call so each worker pays the
+    load once). Default None keeps the built-in hashed-3-gram embedding.
+    Contract: pure function of the name list (same input -> same vectors
+    across retries/workers, or resumed stages diverge), unit-norm rows
+    (cosine is computed as a plain dot), and batch-friendly (called once
+    per Arrow batch over the distinct unseen names, not per pair).
 
     Why one UDF instead of column expressions: Spark's higher-order functions
     (zip_with/aggregate for cosine, array_intersect for Jaccard) are
@@ -108,6 +119,19 @@ def make_score_pair_udf(config: PipelineConfig = DEFAULT_CONFIG):
 
         from graphiti_spark.functions.embeddings import hashed_ngram_embedding_py
 
+        a_list = [x or "" for x in norm_a]
+        b_list = [x or "" for x in norm_b]
+        if embed_fn is not None:
+            # one model call per Arrow batch over the distinct UNSEEN names
+            unseen = [s for s in dict.fromkeys(a_list + b_list) if s not in emb_memo]
+            if unseen:
+                if len(emb_memo) > 1_000_000:
+                    emb_memo.clear()
+                    unseen = list(dict.fromkeys(a_list + b_list))
+                vecs = np.asarray(embed_fn(unseen), dtype=np.float64)
+                for s, v in zip(unseen, vecs):
+                    emb_memo[s] = v
+
         def _emb(name):
             v = emb_memo.get(name)
             if v is None:
@@ -123,8 +147,6 @@ def make_score_pair_udf(config: PipelineConfig = DEFAULT_CONFIG):
                 emb_memo[name] = v
             return v
 
-        a_list = [x or "" for x in norm_a]
-        b_list = [x or "" for x in norm_b]
         n = len(a_list)
         cos = np.zeros(n)
         jac = np.zeros(n)
@@ -167,10 +189,23 @@ def _char_ngrams_col(c, n: int):
     return F.transform(idx, lambda i: F.substr(padded, i, F.lit(n)))
 
 
-def entity_catalog(mentions: DataFrame) -> DataFrame:
+def entity_catalog(
+    mentions: DataFrame, external_embeddings: DataFrame | None = None
+) -> DataFrame:
     """Distinct extraction-time entities with embeddings.
 
     mention_count is carried for skew diagnostics / hot-key salting decisions.
+
+    ``external_embeddings`` is the real-model injection point for the
+    SEARCH/candidate surface (README "Plugging in real models"): a
+    ``(entity_uuid, name_embedding array<float>)`` table — e.g. the output
+    of a sentence-transformer batch job — joined in place of the built-in
+    hashed-3-gram stand-in. Contract: one row per entity_uuid; vectors are
+    defensively L2-normalized here (every cosine downstream assumes unit
+    norm); entities absent from the table fall back to the deterministic
+    built-in so the catalog stays total. Determinism caveat: resume/replay
+    reproducibility then depends on the SUPPLIED table being stable — pin a
+    model version and persist the embedding table next to the stage ledger.
     """
     from graphiti_spark.functions.ids import identity_normalize_udf
 
@@ -198,7 +233,28 @@ def entity_catalog(mentions: DataFrame) -> DataFrame:
     ents = ents.repartition(width, "group_id", "entity_uuid").withColumn(
         "name_norm", identity_normalize_udf("name")
     )
-    return ents.withColumn("name_embedding", hashed_ngram_embedding_udf("name_norm"))
+    ents = ents.withColumn("name_embedding", hashed_ngram_embedding_udf("name_norm"))
+    if external_embeddings is not None:
+        ext = external_embeddings.select(
+            "entity_uuid", F.col("name_embedding").alias("_ext_emb")
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                "_ext_emb", F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
+            )
+        )
+        ents = (
+            ents.join(ext, "entity_uuid", "left")
+            .withColumn(
+                "name_embedding",
+                F.when(
+                    F.col("_ext_emb").isNotNull() & (norm > 0),
+                    F.transform("_ext_emb", lambda v: (v / norm).cast("float")),
+                ).otherwise(F.col("name_embedding")),
+            )
+            .drop("_ext_emb")
+        )
+    return ents
 
 
 def _bucket_pairs(rows: DataFrame, key_cols: list[str], cap) -> DataFrame:
@@ -310,6 +366,7 @@ def score_and_filter_pairs(
     pairs: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
     caches: list | None = None,
+    embed_fn=None,
 ) -> DataFrame:
     """Verify candidates; emit accepted duplicate pairs with scores.
 
@@ -370,7 +427,7 @@ def score_and_filter_pairs(
     # small in BYTES but python-CPU-heavy per row, so AQE's size-based
     # coalescing would fold it into 1-2 partitions and run the scorer on 1-2
     # cores. Hash repartition (deterministic, unlike round-robin) spreads it.
-    score_pair_udf = make_score_pair_udf(config)
+    score_pair_udf = make_score_pair_udf(config, embed_fn=embed_fn)
     width = plan_width(pairs.sparkSession)
     distinct_names = (
         j.select("norm_a", "norm_b")
@@ -411,10 +468,17 @@ def score_and_filter_pairs(
 
 
 def duplicate_pairs_stage(
-    mentions: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+    mentions: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    embed_fn=None,
+    external_embeddings: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """mentions -> (entity catalog, accepted duplicate pairs)."""
-    ents = entity_catalog(mentions)
+    """mentions -> (entity catalog, accepted duplicate pairs).
+
+    ``embed_fn`` / ``external_embeddings``: real-model injection points for
+    the pair-scorer cosine and the catalog's name_embedding column
+    respectively — see make_score_pair_udf / entity_catalog."""
+    ents = entity_catalog(mentions, external_embeddings=external_embeddings)
     pairs = candidate_pairs(ents, config)
-    accepted = score_and_filter_pairs(ents, pairs, config)
+    accepted = score_and_filter_pairs(ents, pairs, config, embed_fn=embed_fn)
     return ents, accepted
