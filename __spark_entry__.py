@@ -1624,6 +1624,35 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_shard_plan(spark, sf_dir):
+    """Deterministic training-shard layout (datapipe/shards.py): shard =
+    md5_long('shards:' || id) % 8, pos = rank of md5_long('ord:shards:' ||
+    id) within the shard. Oracle: same md5 formulas + a row_number window."""
+    from graphiti_spark.datapipe.shards import shard_plan
+
+    out = shard_plan(_t(spark, sf_dir, "documents"), n_shards=8)
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def _q_shard_manifest(spark, sf_dir):
+    """Per-shard audit row: doc/token counts + order-independent bit_xor
+    content hash over md5_long(id ':' md5(text))."""
+    from graphiti_spark.datapipe.shards import shard_manifest
+
+    out = shard_manifest(_t(spark, sf_dir, "documents"), n_shards=8)
+    return out.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("content_hash").cast("long").alias("content_hash"),
+    )
+
+
 def _q_ngram_decontam(spark, sf_dir):
     """Contamination report: eval set = every 97th document; n=3 because
     the synthetic ~31-token vocabulary makes 13-grams (the production
@@ -2010,6 +2039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_tri": _q_lm_perplexity_tri,
         "ppl_buckets": _q_ppl_buckets,
         "pack_sequences": _q_pack_sequences,
+        "shard_plan": _q_shard_plan,
+        "shard_manifest": _q_shard_manifest,
         "ngram_decontam": _q_ngram_decontam,
         "chunk_documents": _q_chunk_documents,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -2858,6 +2889,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start_offset // 2048 AS BIGINT) AS start_seq,
                    CAST((start_offset + greatest(n_tokens, 1) - 1) // 2048 AS BIGINT) AS end_seq
             FROM o
+        """,
+        "shard_plan": f"""
+            WITH k AS (SELECT doc_id,
+                    cast(concat('0x', substr(md5(concat('shards:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS shard,
+                    cast(concat('0x', substr(md5(concat('ord:shards:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord_key,
+                    len({_TOKS}) AS n_tokens
+                  FROM documents)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id) - 1 AS BIGINT) AS pos,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM k
+        """,
+        "shard_manifest": f"""
+            WITH k AS (SELECT doc_id,
+                    cast(concat('0x', substr(md5(concat('shards:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS shard,
+                    len({_TOKS}) AS n_tokens,
+                    cast(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', md5(text))), 1, 15)) AS BIGINT) AS row_h
+                  FROM documents)
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(bit_xor(row_h) AS BIGINT) AS content_hash
+            FROM k GROUP BY shard
         """,
         "bm25_search": f"""
             WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
