@@ -274,6 +274,20 @@ def main() -> None:
         },
         "cpu_sec": cpu,
         "incremental_timings": inc_result.get("timings", {}),
+        # neighborhood-scoping evidence: delta cost should track these, not
+        # the corpus (changed_entities/affected_clusters vs total graph size)
+        "incremental_stats": {
+            k: inc_result[k]
+            for k in (
+                "new_episodes",
+                "changed_entities",
+                "affected_clusters",
+                "rebuilt_edge_partitions",
+                "nodes_upserted",
+                "edges_upserted",
+            )
+            if k in inc_result
+        },
         "triples_per_sec": round(n_edges / pipeline_sec, 2),
     }
     print(json.dumps(result))
