@@ -1,0 +1,84 @@
+"""Guards for the webtext-shaped bench corpus (synth.webtext_documents /
+webtext_pages): the bench's curation families measure real keep AND drop
+work only while these properties hold, so pin them against silent drift."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    from graphiti_spark.synth import webtext_documents
+
+    return webtext_documents(spark, "/root/testdata/sf0.001")
+
+
+def _content_hash(df, cols):
+    return df.select(
+        F.sum(F.crc32(F.concat_ws("|", *cols))).alias("h")
+    ).collect()[0]["h"]
+
+
+def test_webtext_documents_deterministic_across_parallelism(spark):
+    """Pure function of the input rows at any partitioning — the contract
+    the scaling/bench comparisons rely on (the near-dup lookback stays
+    inside an atomic 64-id bucket)."""
+    cols = ["doc_id", "text", "lang", "source"]
+    a = _content_hash(_docs(spark), cols)
+    b = _content_hash(_docs(spark).repartition(13), cols)
+    assert a == b
+
+
+def test_every_gopher_rule_fires_both_ways(spark):
+    """Each per-rule boolean must have keeps AND drops on the bench corpus
+    (BENCH_r03's gap: several keep-paths never fired on the raw docs)."""
+    from graphiti_spark.datapipe.quality import gopher_quality_flags
+
+    g = gopher_quality_flags(_docs(spark))
+    n = g.count()
+    flags = [f.name for f in g.schema.fields if f.dataType.simpleString() == "boolean"]
+    counts = g.select(
+        [F.sum(F.col(c).cast("int")).alias(c) for c in flags]
+    ).collect()[0]
+    for c in flags:
+        assert 0 < counts[c] < n, f"rule {c} fires only one way ({counts[c]}/{n})"
+
+
+def test_c4_gate_keeps_most_and_drops_some(spark):
+    from graphiti_spark.datapipe.quality import c4_clean_and_flags
+
+    c4 = c4_clean_and_flags(_docs(spark))
+    n = c4.count()
+    kept = c4.filter("c4_kept").count()
+    assert 0.7 * n < kept < n  # most pages survive, a real minority drops
+    chars = c4.select(F.sum(F.length("clean_text"))).collect()[0][0]
+    assert chars > 0  # the r3 degenerate case: every character stripped
+
+
+def test_planted_near_duplicates_are_findable(spark):
+    """~1/15 docs are one-token variants of an earlier doc: MinHash-LSH
+    must surface a nonempty verified pair set on the fixture slice."""
+    from graphiti_spark.datapipe.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.8)
+    assert pairs.count() > 0
+
+
+def test_webtext_pages_long_tail_entities(spark):
+    """The KG path extracts a zipf head + long tail: many distinct entities,
+    with the hottest entity on a large-but-minority share of pages (the
+    realistic incremental-delta shape, vs the old ~31-token vocabulary)."""
+    from graphiti_spark.operators.extract_text import extract_text_stage
+    from graphiti_spark.operators.ner import mentions_stage
+    from graphiti_spark.operators.episodes import episodes_stage
+    from graphiti_spark.synth import webtext_pages
+
+    pages = webtext_pages(spark, "/root/testdata/sf0.001")
+    eps = episodes_stage(extract_text_stage(pages))
+    m = mentions_stage(eps)
+    by_name = m.groupBy("name").count().collect()
+    n_pages = pages.count()
+    assert len(by_name) > 300  # long tail: hundreds of distinct entities on 500 pages
+    hottest = max(r["count"] for r in by_name)
+    assert hottest > 20  # a real zipf head exists...
+    assert hottest < 3 * n_pages  # ...but no entity dominates every sentence
