@@ -1193,6 +1193,117 @@ def _q_domain_stats(spark, sf_dir):
     )
 
 
+def _messy_url_docs(spark, sf_dir):
+    """Deterministic messy URLs for the canonicalizer: groups of 4
+    consecutive doc_ids share a logical page, each dressed differently —
+    uppercase scheme/WWW, explicit :443, trailing slash, utm/fbclid
+    tracking params, unsorted query, fragment. Same expression in the
+    DuckDB twin (_MESSY_URL_SQL)."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    grp = (F.col("doc_id") / 4).cast("long")
+    url = F.concat(
+        F.when(m == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (grp % 7).cast("string"),
+        F.lit(".example.com"),
+        F.when(m == 1, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/doc/"),
+        grp.cast("string"),
+        F.when(m == 2, F.lit("/")).otherwise(F.lit("")),
+        F.when(m == 3, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(m == 4, F.lit("?a=1&fbclid=xyz&b=2"))
+        .otherwise(F.lit("")),
+        F.when(m == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+_MESSY_URL_SQL = (
+    "SELECT doc_id, concat("
+    "CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END, '://', "
+    "CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END, "
+    "'site', CAST((doc_id // 4) % 7 AS VARCHAR), '.example.com', "
+    "CASE WHEN doc_id % 5 = 1 THEN ':443' ELSE '' END, "
+    "'/doc/', CAST(doc_id // 4 AS VARCHAR), "
+    "CASE WHEN doc_id % 5 = 2 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 3 THEN '?utm_source=feed&b=2&a=1' "
+    "     WHEN doc_id % 5 = 4 THEN '?a=1&fbclid=xyz&b=2' ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url FROM documents"
+)
+
+# Full SQL restatement of canonical_url_col (webstats.py): same regexes,
+# same tracking-param list, same sort — the oracle executes the identical
+# normalization, not a looser paraphrase.
+_CANON_SQL = """
+    SELECT doc_id, url,
+           concat(scheme, '://', host2, port_part, path2, query_part)
+             AS canonical_url
+    FROM (
+      SELECT doc_id, url, scheme,
+        regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                       '^www\\.', '') AS host2,
+        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE concat(':', port) END AS port_part,
+        CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(raw_path, '/+$', '') END AS path2,
+        CASE WHEN len(params) > 0
+             THEN concat('?', array_to_string(params, '&'))
+             ELSE '' END AS query_part
+      FROM (
+        SELECT doc_id, url, scheme, hostport, raw_path,
+          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+          list_sort(list_filter(string_split(query, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)=')))
+            AS params
+        FROM (
+          SELECT doc_id, url,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              AS scheme,
+            lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+            regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS raw_path,
+            regexp_extract(url, '\\?([^#]*)', 1) AS query
+          FROM (%s)
+        )
+      )
+    )
+""" % (
+    _MESSY_URL_SQL,
+)
+
+
+def _q_url_canonical(spark, sf_dir):
+    """RFC-3986-style URL normalization (webstats.canonical_url_col):
+    lowercase scheme/host, default-port and www stripping, trailing-slash
+    and fragment removal, tracking-param drop + query sort. Oracle: full
+    SQL restatement of every rule."""
+    from graphiti_spark.datapipe.webstats import canonicalize_urls
+
+    return canonicalize_urls(_messy_url_docs(spark, sf_dir)).select(
+        "doc_id", "url", "canonical_url"
+    )
+
+
+def _q_url_dedup(spark, sf_dir):
+    """URL-level exact dedup on the canonical key (webstats.url_dedup):
+    one hash agg, min-doc_id winner, duplicate counts — the CommonCrawl
+    first-pass dedup before any content dedup."""
+    from graphiti_spark.datapipe.webstats import url_dedup
+
+    out = url_dedup(_messy_url_docs(spark, sf_dir))
+    return out.select(
+        "canonical_url",
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+    )
+
+
 def _q_c4_quality(spark, sf_dir):
     """C4-style line cleaning + page gate (datapipe/quality.
     c4_clean_and_flags, Raffel et al. 2020 §2.2): terminal-punctuation /
@@ -2015,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_mask": _q_pii_mask,
         "url_features": _q_url_features,
         "domain_stats": _q_domain_stats,
+        "url_canonical": _q_url_canonical,
+        "url_dedup": _q_url_dedup,
         # --- web link graph (Common-Crawl-style crawl tier) ---
         "kg_pages": _q_kg_pages,
         "link_graph_edges": _q_link_graph_edges,
@@ -2507,6 +2620,13 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(total_tokens AS DOUBLE)
                          / (SELECT sum(total_tokens) FROM agg), 6) AS token_share
             FROM agg
+        """,
+        "url_canonical": _CANON_SQL,
+        "url_dedup": f"""
+            WITH c AS ({_CANON_SQL})
+            SELECT canonical_url, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM c GROUP BY canonical_url
         """,
         "c4_quality": f"""
             WITH ls AS (SELECT doc_id, text,

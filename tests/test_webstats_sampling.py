@@ -34,6 +34,43 @@ def test_url_features_hand_computed(spark):
     assert got[3]["domain"] == "localhost"  # single label falls back to host
 
 
+def test_canonical_url_hand_computed(spark):
+    from graphiti_spark.datapipe.webstats import canonicalize_urls, url_dedup
+
+    rows = [
+        # scheme/host case, www, default port, fragment, trailing slash
+        (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag"),
+        # same page, dressed differently -> same canonical
+        (2, "https://example.com/a/b?a=1&fbclid=zzz&b=2"),
+        # non-default port is KEPT
+        (3, "https://example.com:8443/a"),
+        # http default port dropped; empty path -> '/'
+        (4, "http://example.com:80"),
+        # only-tracking query vanishes entirely
+        (5, "https://example.com/x?utm_campaign=c&gclid=g"),
+        # ref/ref_src are tracking; 'refresh' is NOT (prefix must not over-match)
+        (6, "https://example.com/y?refresh=1&ref=tw"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["canonical_url"] for r in canonicalize_urls(df).collect()}
+    assert got[1] == "https://example.com/a/b?a=1&b=2"
+    assert got[2] == "https://example.com/a/b?a=1&b=2"
+    assert got[3] == "https://example.com:8443/a"
+    assert got[4] == "http://example.com/"
+    assert got[5] == "https://example.com/x"
+    assert got[6] == "https://example.com/y?refresh=1"
+
+    dedup = {r["canonical_url"]: r for r in url_dedup(df).collect()}
+    assert dedup["https://example.com/a/b?a=1&b=2"]["keep_doc_id"] == 1
+    assert dedup["https://example.com/a/b?a=1&b=2"]["n_dups"] == 2
+    assert len(dedup) == 5
+
+    # strip_www=False preserves the www host verbatim (post-lowering)
+    kept = canonicalize_urls(df, strip_www=False).collect()
+    by_id = {r["doc_id"]: r["canonical_url"] for r in kept}
+    assert by_id[1] == "https://www.example.com/a/b?a=1&b=2"
+
+
 def test_domain_stats_and_blocklist(spark):
     rows = [
         (1, "https://a.example.com/1", "one two three"),  # 3 tokens
