@@ -1304,6 +1304,30 @@ def _q_url_dedup(spark, sf_dir):
     )
 
 
+def _q_nb_quality(spark, sf_dir):
+    """fastText-style trainable quality classifier as multinomial NB
+    (datapipe/nb_classifier.py — the GPT-3/CCNet linear-classifier gate
+    shape with closed-form deterministic training): train on the even-id
+    half of the corpus with label (lang = 'en'), score every document.
+    Oracle: full SQL restatement of the training (df cut, Laplace odds,
+    prior, unseen-token default) and the scoring sum."""
+    from graphiti_spark.datapipe.nb_classifier import (
+        nb_classifier_scores,
+        train_nb_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    seed = d.filter(F.col("doc_id") % 2 == 0).withColumn("label", F.col("lang") == "en")
+    model = train_nb_classifier(seed, min_df=2)
+    out = nb_classifier_scores(d, model)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "log_odds",
+        "keep",
+    )
+
+
 def _q_c4_quality(spark, sf_dir):
     """C4-style line cleaning + page gate (datapipe/quality.
     c4_clean_and_flags, Raffel et al. 2020 §2.2): terminal-punctuation /
@@ -2128,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "url_canonical": _q_url_canonical,
         "url_dedup": _q_url_dedup,
+        "nb_quality_scores": _q_nb_quality,
         # --- web link graph (Common-Crawl-style crawl tier) ---
         "kg_pages": _q_kg_pages,
         "link_graph_edges": _q_link_graph_edges,
@@ -2622,6 +2647,36 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "url_canonical": _CANON_SQL,
+        "nb_quality_scores": f"""
+            WITH base AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+            toks AS (SELECT doc_id, lang, unnest(tk) AS token FROM base),
+            seed AS (SELECT doc_id, (lang = 'en') AS pos, token
+                     FROM toks WHERE doc_id % 2 = 0),
+            counts AS (SELECT token, count(DISTINCT doc_id) AS df,
+                              sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+                              sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+                       FROM seed GROUP BY token),
+            vocab AS (SELECT token, c_pos, c_neg FROM counts WHERE df >= 2),
+            tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+                           count(*) AS v FROM vocab),
+            model AS (SELECT token,
+                        round(ln((c_pos + 1.0) / (t_pos + v))
+                              - ln((c_neg + 1.0) / (t_neg + v)), 6) AS log_odds
+                      FROM vocab, tot),
+            prior AS (SELECT round(ln(
+                        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        / sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)), 6) AS p
+                      FROM documents WHERE doc_id % 2 = 0),
+            dflt AS (SELECT round(ln((t_neg + v) * 1.0 / (t_pos + v)), 6) AS d
+                     FROM tot),
+            scored AS (SELECT t.doc_id, count(*) AS n_tokens,
+                         round((SELECT p FROM prior)
+                               + sum(coalesce(m.log_odds, (SELECT d FROM dflt))),
+                               6) AS log_odds
+                       FROM toks t LEFT JOIN model m USING (token)
+                       GROUP BY t.doc_id)
+            SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS keep FROM scored
+        """,
         "url_dedup": f"""
             WITH c AS ({_CANON_SQL})
             SELECT canonical_url, min(doc_id) AS keep_doc_id,
