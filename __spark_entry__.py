@@ -1538,6 +1538,29 @@ def _q_triangle_counts(spark, sf_dir):
     )
 
 
+def _q_host_tld_modularity(spark, sf_dir):
+    """Newman modularity of the TLD partition of the host link graph
+    (graph_metrics.modularity_by_community): per-community internal-edge
+    share minus squared degree share. TLD grouping is a real partition of
+    the synthetic crawl (hub hosts live on .net; doc hosts spread over
+    com/org/net), so both terms are exercised. Oracle: the full formula
+    restated in SQL over the pinned kg_pages golden."""
+    from graphiti_spark.analytics.graph_metrics import modularity_by_community
+
+    e = _host_edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("host")).unionAll(
+        e.select(F.col("dst").alias("host"))
+    ).distinct()
+    asg = nodes.select(
+        F.col("host").alias("uuid"),
+        F.element_at(F.split("host", r"\."), -1).alias("community"),
+    )
+    out = modularity_by_community(e, asg)
+    return out.select(
+        "community", "n_nodes", "internal_edges", "degree_sum", "contribution"
+    )
+
+
 def _q_hits_hosts(spark, sf_dir):
     """HITS hubs/authorities over the host link graph — the hub-spoke
     structure the synthetic crawl deliberately plants (every page links a
@@ -2158,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_edges": _q_link_graph_edges,
         "host_link_stats": _q_host_link_stats,
         "hits_hosts": _q_hits_hosts,
+        "host_tld_modularity": _q_host_tld_modularity,
         "harmonic_hosts": _q_harmonic_hosts,
         # --- graph metrics beyond the reference's centrality set ---
         "triangle_counts": _q_triangle_counts,
@@ -2935,6 +2959,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY adamic_adar DESC, uuid_a, uuid_b LIMIT 100
         """,
         "hits_hosts": _hits_hosts_sql(10),
+        "host_tld_modularity": f"""
+            WITH {_HOST_LINKS_CTES},
+            eu AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+                          greatest(src_host, dst_host) AS b
+                   FROM hlinks WHERE src_host <> dst_host),
+            m AS (SELECT count(*) AS m FROM eu),
+            incid AS (SELECT a AS node FROM eu UNION ALL SELECT b FROM eu),
+            deg AS (SELECT node, count(*) AS deg FROM incid GROUP BY node),
+            asg AS (SELECT node, string_split(node, '.')[-1] AS comm
+                    FROM (SELECT DISTINCT node FROM incid)),
+            bycomm AS (SELECT comm, count(*) AS n_nodes, sum(deg) AS degree_sum
+                       FROM deg JOIN asg USING (node) GROUP BY comm),
+            internal AS (SELECT a1.comm AS comm, count(*) AS internal_edges
+                         FROM eu JOIN asg a1 ON eu.a = a1.node
+                                 JOIN asg a2 ON eu.b = a2.node
+                         WHERE a1.comm = a2.comm GROUP BY a1.comm)
+            SELECT b.comm AS community,
+                   b.n_nodes,
+                   coalesce(i.internal_edges, 0) AS internal_edges,
+                   CAST(b.degree_sum AS BIGINT) AS degree_sum,
+                   round(coalesce(i.internal_edges, 0) * 1.0 / (SELECT m FROM m)
+                         - pow(b.degree_sum / (2.0 * (SELECT m FROM m)), 2),
+                         6) AS contribution
+            FROM bycomm b LEFT JOIN internal i USING (comm)
+        """,
         "ppr_hosts": _ppr_hosts_sql(10),
         "k_core_parts": _k_core_sql(80, 10),
         "streaming_windows": """

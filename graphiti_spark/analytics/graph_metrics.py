@@ -57,6 +57,96 @@ def undirected_edges(
     )
 
 
+def modularity_by_community(
+    edges: DataFrame,
+    assignments: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "uuid",
+    community_col: str = "community",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Newman modularity decomposed per community (Newman & Girvan 2004):
+
+        Q = sum over communities c of  [ m_c/m  -  (d_c / 2m)^2 ]
+
+    over the canonical undirected edge set (self-loops dropped, orientations
+    collapsed), with m = |edges|, m_c = edges internal to c, d_c = total
+    degree of c's nodes. Returns one row per community:
+    (community, n_nodes, internal_edges, degree_sum, contribution); the
+    scalar Q is ``modularity()``. Nodes missing from ``assignments`` get
+    community NULL (grouped together, so dropped coverage is visible).
+
+    The standard quality score for any partition this engine produces —
+    label_propagation communities, connected components, or an external
+    assignment like per-host TLD grouping.
+
+    Scale shape: two joins keyed on the node id (assignment is node-sized,
+    NOT broadcastable at 100 TB — these are ordinary shuffle joins on the
+    graph's natural key) and two algebraic groupBys on the community key
+    (map-side combine absorbs hot communities); the scalar m enters via a
+    broadcast 1-row crossJoin, no driver barrier."""
+    e = undirected_edges(edges, src_col, dst_col)
+    asg = assignments.select(
+        F.col(id_col).alias("_node"), F.col(community_col).alias("_comm")
+    )
+    labeled = (
+        e.join(asg.withColumnsRenamed({"_node": "a", "_comm": "_ca"}), "a", "left")
+        .join(asg.withColumnsRenamed({"_node": "b", "_comm": "_cb"}), "b", "left")
+    )
+    m_row = e.agg(F.count(F.lit(1)).alias("_m"))
+    internal = (
+        labeled.filter(
+            (F.col("_ca") == F.col("_cb"))
+            | (F.col("_ca").isNull() & F.col("_cb").isNull())
+        )
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    # degree per node from the canonical edge set, then per community
+    nodes = e.select(F.col("a").alias("_node")).unionAll(e.select("b"))
+    deg = nodes.groupBy("_node").agg(F.count(F.lit(1)).alias("_deg"))
+    by_comm = (
+        deg.join(asg, "_node", "left")
+        .groupBy(F.col("_comm").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("_deg").alias("degree_sum"),
+        )
+    )
+    out = (
+        by_comm.join(internal, "community", "left")
+        .na.fill({"internal_edges": 0})
+        .crossJoin(F.broadcast(m_row))
+    )
+    return out.select(
+        "community",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("internal_edges").cast("long").alias("internal_edges"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+        F.round(
+            F.col("internal_edges") / F.col("_m")
+            - F.pow(F.col("degree_sum") / (2.0 * F.col("_m")), 2),
+            round_dp,
+        ).alias("contribution"),
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    assignments: DataFrame,
+    **kwargs,
+) -> float:
+    """Scalar Newman modularity Q of a partition (sum of per-community
+    contributions from modularity_by_community)."""
+    row = (
+        modularity_by_community(edges, assignments, **kwargs)
+        .agg(F.sum("contribution"))
+        .collect()[0]
+    )
+    return float(row[0] or 0.0)
+
+
 def triangle_counts(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

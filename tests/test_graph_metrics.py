@@ -233,3 +233,48 @@ def test_link_prediction_deg_cap_drops_hub_wedges(spark):
     )
     # cap=2 removes both deg-3 intermediates -> no wedge survives
     assert link_prediction(e, deg_cap=2).count() == 0
+
+
+def test_modularity_two_triangles_hand_computed(spark):
+    """Two triangles bridged by one edge, communities = the triangles:
+    m=7, internal 3+3, degree sums 7+7 ->
+    each contribution = 3/7 - (7/14)^2 = 0.178571, Q = 0.357143."""
+    from graphiti_spark.analytics.graph_metrics import (
+        modularity,
+        modularity_by_community,
+    )
+
+    e = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "1"), ("4", "5"), ("5", "6"), ("6", "4"), ("3", "4"),
+         ("4", "3")],  # reverse orientation collapses into the same edge
+        "src string, dst string",
+    )
+    asg = spark.createDataFrame(
+        [(str(i), "A" if i <= 3 else "B") for i in range(1, 7)],
+        "uuid string, community string",
+    )
+    rows = {r["community"]: r for r in modularity_by_community(e, asg).collect()}
+    for c in ("A", "B"):
+        assert rows[c]["n_nodes"] == 3
+        assert rows[c]["internal_edges"] == 3
+        assert rows[c]["degree_sum"] == 7
+        assert rows[c]["contribution"] == pytest.approx(3 / 7 - 0.25, abs=1e-6)
+    assert modularity(e, asg) == pytest.approx(2 * (3 / 7 - 0.25), abs=1e-5)
+
+
+def test_modularity_unassigned_nodes_grouped_null(spark):
+    from graphiti_spark.analytics.graph_metrics import modularity_by_community
+
+    e = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "1"), ("3", "7")], "src string, dst string"
+    )
+    asg = spark.createDataFrame(
+        [(str(i), "A") for i in range(1, 4)], "uuid string, community string"
+    )
+    rows = {r["community"]: r for r in modularity_by_community(e, asg).collect()}
+    # m=4; A: internal 3, degrees 2+2+3=7; NULL: node 7 deg 1, edge 3-7 is cross
+    assert rows["A"]["internal_edges"] == 3 and rows["A"]["degree_sum"] == 7
+    assert rows[None]["n_nodes"] == 1
+    assert rows[None]["internal_edges"] == 0
+    assert rows[None]["degree_sum"] == 1
+    assert rows[None]["contribution"] == pytest.approx(-((1 / 8) ** 2), abs=1e-6)
