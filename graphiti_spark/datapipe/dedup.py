@@ -22,10 +22,8 @@ hashes for this reason).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
 
 from graphiti_spark.functions.hashing import (
     md5_long_col,
@@ -35,61 +33,23 @@ from graphiti_spark.functions.hashing import (
     simhash_udf,
 )
 from graphiti_spark.functions.textstats import tokens_col
-from graphiti_spark.session import session_pandas_udf
 
 
-@session_pandas_udf(DoubleType())
-def _set_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Exact set-Jaccard over two token-array columns, one Arrow batch.
-
-    Replaces interpreted ``array_intersect``/``array_union`` on full token
-    arrays (the per-element HOF trap: 251.6s for the MinHash verify at sf0.1
-    in BENCH_r01) with Python-set ops — the er.py score_pair_udf pattern."""
-    out = [0.0] * len(a)
-    for i in range(len(a)):
-        sa = set(a[i]) if a[i] is not None else set()
-        sb = set(b[i]) if b[i] is not None else set()
-        u = len(sa | sb)
-        out[i] = len(sa & sb) / u if u else 0.0
-    return pd.Series(out)
-
-
-def _keyed_jaccard_udf():
-    """Exact set-Jaccard like ``_set_jaccard_udf`` but taking the doc ids
-    alongside the token arrays, memoizing set construction per id.
-
-    Candidate pairs repeat the same documents many times (at sf0.1: ~900K
-    surviving candidates over only 5K distinct docs — hot docs appear in
-    hundreds of pairs, and on real webtext boilerplate-heavy pages do the
-    same), so building the Python set once per DOC instead of once per PAIR
-    side removes ~99% of the set-construction work; the per-pair residue is
-    one len(sa & sb) over small sets. Memo bounded like minhash_sig_udf."""
-    memo: dict = {}
-
-    @F.pandas_udf(DoubleType())
-    def _jac(
-        id_a: pd.Series, a: pd.Series, id_b: pd.Series, b: pd.Series
-    ) -> pd.Series:
-        if len(memo) > 1_000_000:
-            memo.clear()
-
-        def _get(k, arr):
-            s = memo.get(k)
-            if s is None:
-                s = frozenset(arr) if arr is not None else frozenset()
-                memo[k] = s
-            return s
-
-        out = [0.0] * len(a)
-        for i in range(len(a)):
-            sa = _get(id_a[i], a[i])
-            sb = _get(id_b[i], b[i])
-            inter = len(sa & sb)
-            u = len(sa) + len(sb) - inter
-            out[i] = inter / u if u else 0.0
-        return pd.Series(out)
-
-    return _jac
+def _exact_jaccard_col(toks_a, toks_b) -> F.Column:
+    """Exact set-Jaccard over two DISTINCT-token array columns, JVM-side:
+    |a intersect b| / (|a| + |b| - |a intersect b|). No union materialization
+    (the BENCH_r01 trap was array_intersect PLUS array_union on full arrays;
+    the union size is arithmetic once intersection is known) and no Arrow
+    transfer (the round-2 pandas memo verify was right for 25-token docs but
+    ships both full token arrays per candidate pair — on webtext-shaped
+    133-token docs that transfer dominated: 2.09M candidates verified in
+    ~50s via Arrow vs 5.6s with this expression, identical 289 emitted
+    pairs). Inputs MUST be set-semantics arrays (array_distinct output)."""
+    a = F.col(toks_a) if isinstance(toks_a, str) else toks_a
+    b = F.col(toks_b) if isinstance(toks_b, str) else toks_b
+    inter = F.size(F.array_intersect(a, b))
+    denom = F.size(a) + F.size(b) - inter
+    return F.when(denom > 0, inter / denom).otherwise(F.lit(0.0))
 
 
 def exact_dedup(
@@ -236,9 +196,8 @@ def minhash_lsh_pairs(
         cand.join(toks.select(F.col("_id").alias("id_a"), F.col("_tokset").alias("toks_a")), "id_a")
         .join(toks.select(F.col("_id").alias("id_b"), F.col("_tokset").alias("toks_b")), "id_b")
     )
-    # Arrow-batched exact verify on surviving candidates only, with per-doc
-    # set-construction memoization (hot docs recur across hundreds of pairs).
-    j = j.withColumn("jaccard", _keyed_jaccard_udf()("id_a", "toks_a", "id_b", "toks_b"))
+    # JVM exact verify on surviving candidates only (see _exact_jaccard_col).
+    j = j.withColumn("jaccard", _exact_jaccard_col("toks_a", "toks_b"))
     return j.filter(F.col("jaccard") >= jaccard_threshold).select("id_a", "id_b", "jaccard")
 
 
@@ -405,7 +364,7 @@ def set_similarity_join(
             t.select(F.col("_id").alias("id_b"), F.col("_tokset").alias("toks_b")), "id_b"
         )
     )
-    j = j.withColumn("jaccard", _keyed_jaccard_udf()("id_a", "toks_a", "id_b", "toks_b"))
+    j = j.withColumn("jaccard", _exact_jaccard_col("toks_a", "toks_b"))
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 

@@ -110,3 +110,126 @@ def token_budget(docs: DataFrame, text_col: str = "text", by: str | None = None)
         F.sum("_bpe").alias("total_bpe_tokens"),
     )
     return agg.orderBy(*keys) if keys else agg
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Collocation / phrase mining via pointwise mutual information over
+    adjacent token pairs (Church & Hanks 1990; the word2phrase pass of
+    Mikolov et al. 2013 is the same statistic with a discount):
+
+        pmi(a,b) = ln( (c_ab / N_b) / ((c_a / N_u) * (c_b / N_u)) )
+
+    with c_ab = adjacent-pair count, N_b = total pair positions, c_a/c_b =
+    token occurrence counts, N_u = total tokens. Pairs below ``min_count``
+    are dropped BEFORE the statistics join — the count cutoff is what keeps
+    the surviving pair table Heaps-bounded instead of vocab². Returns
+    (w1, w2, pair_count, pmi) for every surviving pair.
+
+    Scale shape at 100 TB: pair and unigram counts are each ONE algebraic
+    groupBy with map-side combine (hot pairs collapse before the exchange);
+    the min-count cut shrinks the pair table to phrase-candidate size, and
+    the two unigram joins key on a vocab-sized table — the corpus itself is
+    touched exactly twice, map-only plus the two count shuffles. The same
+    shape as lm_quality's bigram training, reused for mining instead of
+    scoring."""
+    toks = docs.select(tokens_col(F.col(text_col)).alias("_tk"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("_tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_tk", i).alias("w1"),
+                        F.element_at("_tk", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = toks.select(F.explode("_tk").alias("w"))
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_b = pairs.agg(F.count(F.lit(1)).alias("_nb"))
+    n_u = uni.agg(F.count(F.lit(1)).alias("_nu"))
+    out = (
+        pair_counts.join(uni_counts.withColumnsRenamed({"w": "w1", "c": "_ca"}), "w1")
+        .join(uni_counts.withColumnsRenamed({"w": "w2", "c": "_cb"}), "w2")
+        .crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_u))
+    )
+    return out.select(
+        "w1",
+        "w2",
+        "pair_count",
+        F.round(
+            F.log(
+                (F.col("pair_count") / F.col("_nb"))
+                / ((F.col("_ca") / F.col("_nu")) * (F.col("_cb") / F.col("_nu")))
+            ),
+            round_dp,
+        ).alias("pmi"),
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document top-k salient terms by smoothed TF-IDF:
+
+        idf(t)   = ln((N + 1) / (df_t + 1)) + 1
+        score    = tf(t, d) * idf(t)
+
+    Ties broken by token ascending so the top-k set is deterministic.
+    Tokens with document frequency < ``min_df`` never enter the DF table
+    (they score as pure rarities and are almost always typos at corpus
+    scale) — they are excluded from keywords entirely.
+
+    The keyword stage a KG pipeline uses for entity salience: which terms
+    characterize a page beyond its extracted entities.
+
+    Scale shape: per-doc TF is one groupBy on (doc, token) with map-side
+    combine; DF is one groupBy on token; the DF table joins back on the
+    token key (vocab-sized, Heaps-bounded). The final top-k is a window
+    partitioned BY DOCUMENT — parallel across docs, never a global sort."""
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                round_dp,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )

@@ -148,3 +148,44 @@ def host_pagerank(
         damping=damping,
         iterations=n_iter,
     )
+
+
+# <a href="...">anchor</a> with a text-only body — the common-subset
+# extraction both engines can run (nested markup inside an anchor is out of
+# contract for the synthetic corpus, as with _HREF_PATTERN).
+_ANCHOR_PATTERN = r'<a href="([^"]*)">([^<]*)</a>'
+
+
+def anchor_text_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Anchor-text aggregation per link target: (dst_host, anchor, n) —
+    how the web DESCRIBES each destination. The classic external naming
+    signal for KG entity resolution (anchor texts are human-written aliases
+    of the target; search engines have indexed them since PageRank-era
+    Google) and the web-scale complement to the reference's name-based ER.
+
+    Map-only harvest: decode + one codegen'd regex for the full anchor
+    element, then per-element regexp_extract for the href/body groups
+    (Spark's regexp_extract_all returns ONE group, so the element is
+    re-parsed in a transform — still zero Python, zero shuffle). One
+    algebraic groupBy on (dst_host, anchor): map-side combine collapses the
+    hot hub targets before the exchange, same skew argument as host_graph."""
+    raw = F.decode(F.col(html_col), "UTF-8")
+    src_host = host_col(F.col(url_col))
+    elems = pages.select(
+        src_host.alias("src_host"),
+        F.explode(F.regexp_extract_all(raw, F.lit(_ANCHOR_PATTERN), 0)).alias("elem"),
+    )
+    parsed = elems.select(
+        "src_host",
+        F.regexp_extract(F.col("elem"), _ANCHOR_PATTERN, 1).alias("href"),
+        F.regexp_extract(F.col("elem"), _ANCHOR_PATTERN, 2).alias("anchor"),
+    )
+    resolved = parsed.select(
+        host_col(resolve_href(F.col("href"), F.col("src_host"))).alias("dst_host"),
+        "anchor",
+    ).filter(F.col("dst_host").isNotNull() & (F.trim(F.col("anchor")) != ""))
+    return resolved.groupBy("dst_host", "anchor").agg(F.count(F.lit(1)).alias("n"))
