@@ -1538,6 +1538,48 @@ def _q_triangle_counts(spark, sf_dir):
     )
 
 
+def _q_pmi_collocations(spark, sf_dir):
+    """Collocation mining by pointwise mutual information over adjacent
+    token pairs (textanalysis.pmi_collocations; Church & Hanks 1990 /
+    word2phrase): pair and unigram counts, min-count cutoff, 6dp PMI.
+    Oracle: full SQL restatement."""
+    from graphiti_spark.datapipe.textanalysis import pmi_collocations
+
+    out = pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5)
+    return out.select(
+        "w1", "w2", F.col("pair_count").cast("long").alias("pair_count"), "pmi"
+    )
+
+
+def _q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-5 salient terms by smoothed TF-IDF
+    (textanalysis.tfidf_keywords), ties broken by token — the entity-salience
+    keyword stage. Oracle: same math + the same deterministic window."""
+    from graphiti_spark.datapipe.textanalysis import tfidf_keywords
+
+    out = tfidf_keywords(_t(spark, sf_dir, "documents"), k=5, min_df=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_anchor_text_stats(spark, sf_dir):
+    """Anchor-text aggregation per link target (webgraph.anchor_text_stats):
+    how the crawl DESCRIBES each destination host — the classic external
+    alias signal for entity resolution. Oracle: the same harvest + resolve +
+    aggregation in SQL over the pinned kg_pages golden."""
+    from graphiti_spark.datapipe.webgraph import anchor_text_stats
+    from graphiti_spark.synth import pages_from_documents
+
+    out = anchor_text_stats(pages_from_documents(spark, sf_dir))
+    return out.select("dst_host", "anchor", F.col("n").cast("long").alias("n"))
+
+
 def _q_host_tld_modularity(spark, sf_dir):
     """Newman modularity of the TLD partition of the host link graph
     (graph_metrics.modularity_by_community): per-community internal-edge
@@ -2182,6 +2224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_stats": _q_host_link_stats,
         "hits_hosts": _q_hits_hosts,
         "host_tld_modularity": _q_host_tld_modularity,
+        "pmi_collocations": _q_pmi_collocations,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "anchor_text_stats": _q_anchor_text_stats,
         "harmonic_hosts": _q_harmonic_hosts,
         # --- graph metrics beyond the reference's centrality set ---
         "triangle_counts": _q_triangle_counts,
@@ -2959,6 +3004,66 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY adamic_adar DESC, uuid_a, uuid_b LIMIT 100
         """,
         "hits_hosts": _hits_hosts_sql(10),
+        "pmi_collocations": f"""
+            WITH tok AS (SELECT {_TOKS} AS tk FROM documents),
+            p2 AS (SELECT string_split(bg, ' ')[1] AS w1,
+                          string_split(bg, ' ')[2] AS w2
+                   FROM (SELECT unnest(list_transform(
+                           generate_series(1, len(tk) - 1),
+                           i -> array_to_string(list_slice(tk, i, i + 1), ' ')))
+                           AS bg
+                         FROM tok WHERE len(tk) >= 2)),
+            uni AS (SELECT unnest(tk) AS w FROM tok),
+            pc AS (SELECT w1, w2, count(*) AS pair_count FROM p2
+                   GROUP BY w1, w2 HAVING count(*) >= 5),
+            uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w)
+            SELECT w1, w2, pair_count,
+                   round(ln((pair_count * 1.0 / (SELECT count(*) FROM p2))
+                            / ((a.c * 1.0 / (SELECT count(*) FROM uni))
+                               * (b.c * 1.0 / (SELECT count(*) FROM uni)))),
+                         6) AS pmi
+            FROM pc JOIN uc a ON pc.w1 = a.w JOIN uc b ON pc.w2 = b.w
+        """,
+        "tfidf_keywords": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                   GROUP BY doc_id, token),
+            dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token
+                    HAVING count(*) >= 2),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+                         round(tf.tf * (ln(((SELECT n FROM n) + 1.0)
+                                           / (dft.df + 1.0)) + 1.0), 6) AS score
+                       FROM tf JOIN dft USING (token)),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY score DESC, token ASC) AS rank
+                       FROM scored)
+            SELECT doc_id, token, tf, df, score, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "anchor_text_stats": f"""
+            WITH el AS (
+              SELECT regexp_extract(url, '{_HOST_RE_SQL}', 1) AS src_host,
+                     unnest(regexp_extract_all(html,
+                       '<a href="([^"]*)">([^<]*)</a>', 0)) AS elem
+              FROM read_parquet('{_GOLDEN_DIR}/kg_pages.parquet')),
+            p AS (SELECT src_host,
+                    regexp_extract(elem, '<a href="([^"]*)">([^<]*)</a>', 1) AS href,
+                    regexp_extract(elem, '<a href="([^"]*)">([^<]*)</a>', 2) AS anchor
+                  FROM el),
+            r AS (SELECT
+                    CASE WHEN regexp_matches(href, '^https?://') THEN href
+                         WHEN href LIKE '//%' THEN NULL
+                         WHEN href LIKE '/%' THEN concat('https://', src_host, href)
+                         ELSE NULL END AS dst_url,
+                    anchor
+                  FROM p)
+            SELECT regexp_extract(dst_url, '{_HOST_RE_SQL}', 1) AS dst_host,
+                   anchor, count(*) AS n
+            FROM r WHERE dst_url IS NOT NULL AND trim(anchor) <> ''
+            GROUP BY dst_host, anchor
+        """,
         "host_tld_modularity": f"""
             WITH {_HOST_LINKS_CTES},
             eu AS (SELECT DISTINCT least(src_host, dst_host) AS a,
