@@ -1328,6 +1328,23 @@ def _q_nb_quality(spark, sf_dir):
     )
 
 
+def _q_weighted_sample_k(spark, sf_dir):
+    """Exact-size weighted sampling without replacement (Efraimidis &
+    Spirakis 2006; sampling.weighted_sample_k): top-20 per language by the
+    deterministic A-ES key ln(u)/w with md5-derived u, weight = n_chars.
+    Oracle: identical key arithmetic + the same window in SQL."""
+    from graphiti_spark.datapipe.sampling import weighted_sample_k
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample_k(d, k=20, weight_col="n_chars", strata_col="lang")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("_es_key").alias("es_key"),
+    )
+
+
 def _q_c4_quality(spark, sf_dir):
     """C4-style line cleaning + page gate (datapipe/quality.
     c4_clean_and_flags, Raffel et al. 2020 §2.2): terminal-punctuation /
@@ -2236,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "ppr_hosts": _q_ppr_hosts,
         "stratified_sample": _q_stratified_sample,
+        "weighted_sample_k": _q_weighted_sample_k,
         "unimax_alloc": _q_unimax_alloc,
         "unimax_sample": _q_unimax_sample,
         "c4_quality": _q_c4_quality,
@@ -3149,6 +3167,20 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN r USING (lang)
             WHERE cast(concat('0x', substr(md5(concat('v1:', CAST(t.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
                   % 1000000 < CAST(r.rate * 1000000 AS BIGINT)
+        """,
+        "weighted_sample_k": """
+            WITH t AS (SELECT doc_id, lang, n_chars FROM documents
+                       WHERE n_chars IS NOT NULL AND n_chars > 0),
+            k AS (SELECT doc_id, lang, n_chars,
+                    round(ln((cast(concat('0x', substr(md5(concat('v1:',
+                              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                              % 1000000 + 1.0) / 1000001.0)
+                          / CAST(n_chars AS DOUBLE), 9) AS es_key
+                  FROM t),
+            r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                    ORDER BY es_key DESC, doc_id ASC) AS rn FROM k)
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, es_key
+            FROM r WHERE rn <= 20
         """,
         "unimax_alloc": f"""
             WITH {_UNIMAX_CTES}

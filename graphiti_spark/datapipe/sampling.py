@@ -234,3 +234,49 @@ def unimax_sample(
     return gated.filter(
         _hash_gate(F.col(id_col), salt) < (F.col("rate") * _GATE_MOD).cast("bigint")
     )
+
+
+def weighted_sample_k(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    salt: str = "v1",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Exact-size weighted sampling WITHOUT replacement, deterministic:
+    Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    reservoir") — draw u ~ U(0,1) per row, keep the k rows with the largest
+    key u^(1/w). One pass, embarrassingly parallel key computation, and the
+    inclusion probability of each row is exactly its weight-proportional
+    share, independent of data order or partitioning.
+
+    u is md5-derived (the stratified_sample hash-gate convention, shifted
+    into (0,1]), so the SAMPLE IS A PURE FUNCTION of (salt, id, weight) —
+    reproducible across runs, engines, and cluster sizes, the property a
+    training-data pipeline needs for auditable mixtures. Rows with weight
+    <= 0 or NULL are never selected. With ``strata_col``, k rows are drawn
+    per stratum (one window, partitioned by stratum).
+
+    The A-ES key is order-equivalent to ln(u)/w (monotone transform),
+    computed in log space to dodge underflow on tiny weights; ties (md5
+    collisions aside, impossible at 60 bits) are broken by id for a total
+    deterministic order. Scale shape: the selection is a per-stratum top-k
+    window — with no strata it is a rank over ONE partition, so at corpus
+    scale pass strata (or pre-aggregate) the same way any global top-k is
+    sharded; keys and filters are all codegen, zero Python.
+    """
+    from pyspark.sql import Window
+
+    u = (_hash_gate(F.col(id_col), salt) + 1.0) / 1_000_001.0  # (0, 1]
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, round_dp)  # maximize u^(1/w) == maximize ln(u)/w (ln u < 0)
+    keyed = docs.filter(w.isNotNull() & (w > 0)).withColumn("_es_key", key)
+    part = [strata_col] if strata_col else []
+    win = Window.partitionBy(*part).orderBy(F.desc("_es_key"), F.asc(id_col))
+    return (
+        keyed.withColumn("_es_rank", F.row_number().over(win))
+        .filter(F.col("_es_rank") <= k)
+        .drop("_es_rank")
+    )

@@ -268,3 +268,52 @@ def test_unimax_sample_gate_matches_stratified_formula(spark):
         assert (i in kept) == expect, (i, lang, rates[lang])
         n_kept += expect
     assert n_kept == len(kept) > 0
+
+
+def test_weighted_sample_k_properties(spark):
+    from graphiti_spark.datapipe.sampling import weighted_sample_k
+
+    rows = [(i, "en", float(1 + (i % 7))) for i in range(200)] + [
+        (900, "en", 0.0),  # weight 0: never selected
+        (901, "en", None),  # NULL weight: never selected
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    got = weighted_sample_k(df, k=10, weight_col="w")
+    ids = {r["doc_id"] for r in got.collect()}
+    assert len(ids) == 10 and 900 not in ids and 901 not in ids
+
+    # partitioning invariance: the sample is a pure function of (salt,id,w)
+    ids2 = {r["doc_id"] for r in weighted_sample_k(df.repartition(13), k=10, weight_col="w").collect()}
+    assert ids2 == ids
+    # salt changes the draw
+    ids3 = {r["doc_id"] for r in weighted_sample_k(df, k=10, weight_col="w", salt="v2").collect()}
+    assert ids3 != ids
+
+    # k >= eligible population returns every eligible row
+    assert weighted_sample_k(df, k=500, weight_col="w").count() == 200
+
+
+def test_weighted_sample_k_weight_bias(spark):
+    """A-ES inclusion tracks weights: with half the rows at 50x the weight
+    of the other half, a k=40-of-400 sample must be dominated by heavy rows
+    (deterministic given the fixed salt — this asserts the measured draw)."""
+    from graphiti_spark.datapipe.sampling import weighted_sample_k
+
+    rows = [(i, 50.0 if i % 2 == 0 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample_k(df, k=40, weight_col="w").collect()
+    heavy = sum(1 for r in got if r["doc_id"] % 2 == 0)
+    assert heavy >= 34  # expected ~39; far above the unweighted 20
+
+
+def test_weighted_sample_k_per_stratum(spark):
+    from graphiti_spark.datapipe.sampling import weighted_sample_k
+
+    rows = [(i, "a" if i < 50 else "b", 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    got = weighted_sample_k(df, k=5, weight_col="w", strata_col="lang").collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by["a"]) == 5 and len(by["b"]) == 5
+    assert all(i < 50 for i in by["a"]) and all(i >= 50 for i in by["b"])
