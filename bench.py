@@ -174,6 +174,31 @@ def main() -> None:
     timed("paragraph_dedup", lambda: paragraph_dedup(docs, sep="\n").count())
     timed("bm25_search", lambda: bm25_scores(docs, "doc_id", "text", ["spark", "join", "filter"]).count())
 
+    # round-4 curation additions over the same webtext corpus
+    from graphiti_spark.datapipe.nb_classifier import (
+        nb_classifier_scores,
+        train_nb_classifier,
+    )
+
+    def _nb() -> int:
+        seed = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+            "label", F.col("lang") == "en"
+        )
+        model = train_nb_classifier(seed, min_df=2)
+        return nb_classifier_scores(docs, model).filter("keep").count()
+
+    timed("nb_quality", _nb)
+    from graphiti_spark.datapipe.textanalysis import pmi_collocations, tfidf_keywords
+
+    timed("pmi_collocations", lambda: pmi_collocations(docs, min_count=5).count())
+    timed("tfidf_keywords", lambda: tfidf_keywords(docs, k=5, min_df=2).count())
+    from graphiti_spark.datapipe.sampling import weighted_sample_k
+
+    timed(
+        "weighted_sample_k",
+        lambda: weighted_sample_k(docs, k=100, weight_col="n_chars", strata_col="lang").count(),
+    )
+
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     timed("ann_brute_topk", lambda: brute_force_topk(emb, qvec, k=20).count())
     timed("ann_lsh_topk", lambda: lsh_bucketed_topk(emb, qvec, k=20).count())
@@ -183,6 +208,27 @@ def main() -> None:
 
     links = extract_links(pages_from_documents(spark, sf_dir, replicate=replicate))
     timed("link_graph_host_stats", lambda: host_link_stats(links).count())
+
+    from graphiti_spark.analytics.graph_metrics import modularity_by_community
+    from graphiti_spark.datapipe.webgraph import anchor_text_stats
+
+    timed(
+        "anchor_text_stats",
+        lambda: anchor_text_stats(pages_from_documents(spark, sf_dir, replicate=replicate)).count(),
+    )
+
+    def _modularity() -> int:
+        he = links.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        nodes = he.select(F.col("src").alias("host")).unionAll(
+            he.select(F.col("dst").alias("host"))
+        ).distinct()
+        asg = nodes.select(
+            F.col("host").alias("uuid"),
+            F.element_at(F.split("host", r"\."), -1).alias("community"),
+        )
+        return modularity_by_community(he, asg).count()
+
+    timed("host_tld_modularity", _modularity)
 
     # SemDeDup over the embedding corpus (k-means + within-cell pairs + CC)
     from graphiti_spark.datapipe.dedup import semantic_dedup
