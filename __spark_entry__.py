@@ -1328,6 +1328,35 @@ def _q_nb_quality(spark, sf_dir):
     )
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer 2003 / MOSS; datapipe/winnowing.py):
+    3-token shingle hashes, window-4 minima, distinct per doc — the
+    partial-overlap dedup primitive. Oracle: identical hash + window
+    arithmetic in SQL."""
+    from graphiti_spark.datapipe.winnowing import winnow_fingerprints
+
+    out = winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, window=4)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("fingerprint").cast("long").alias("fingerprint"),
+    )
+
+
+def _q_winnow_pairs(spark, sf_dir):
+    """Partial-overlap candidate pairs via shared winnowing fingerprints
+    (df-capped self-join, shared-count evidence)."""
+    from graphiti_spark.datapipe.winnowing import winnow_pairs
+
+    out = winnow_pairs(
+        _t(spark, sf_dir, "documents"), k=3, window=4, df_cap=200, min_shared=2
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("shared_fps").cast("long").alias("shared_fps"),
+    )
+
+
 def _q_weighted_sample_k(spark, sf_dir):
     """Exact-size weighted sampling without replacement (Efraimidis &
     Spirakis 2006; sampling.weighted_sample_k): top-20 per language by the
@@ -2254,6 +2283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_hosts": _q_ppr_hosts,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_k": _q_weighted_sample_k,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "unimax_alloc": _q_unimax_alloc,
         "unimax_sample": _q_unimax_sample,
         "c4_quality": _q_c4_quality,
@@ -3167,6 +3198,46 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN r USING (lang)
             WHERE cast(concat('0x', substr(md5(concat('v1:', CAST(t.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
                   % 1000000 < CAST(r.rate * 1000000 AS BIGINT)
+        """,
+        "winnow_fingerprints": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            g AS (SELECT doc_id,
+                    list_transform(generate_series(1, len(tk) - 2),
+                      i -> array_to_string(list_slice(tk, i, i + 2), ' ')) AS grams
+                  FROM tok WHERE len(tk) >= 3),
+            h AS (SELECT doc_id,
+                    list_transform(grams,
+                      s -> cast(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+                  FROM g),
+            w AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                      p -> list_min(list_slice(hs, p, p + 3)))) AS fps
+                  FROM h WHERE len(hs) >= 4)
+            SELECT doc_id, unnest(fps) AS fingerprint FROM w
+        """,
+        "winnow_pairs": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+            g AS (SELECT doc_id,
+                    list_transform(generate_series(1, len(tk) - 2),
+                      i -> array_to_string(list_slice(tk, i, i + 2), ' ')) AS grams
+                  FROM tok WHERE len(tk) >= 3),
+            h AS (SELECT doc_id,
+                    list_transform(grams,
+                      s -> cast(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+                  FROM g),
+            w AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                      p -> list_min(list_slice(hs, p, p + 3)))) AS fps
+                  FROM h WHERE len(hs) >= 4),
+            fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM w),
+            kept AS (SELECT fingerprint, doc_id FROM fp
+                     WHERE fingerprint IN (SELECT fingerprint FROM fp
+                                           GROUP BY fingerprint
+                                           HAVING count(*) <= 200))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+            FROM kept a JOIN kept b
+              ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
         """,
         "weighted_sample_k": """
             WITH t AS (SELECT doc_id, lang, n_chars FROM documents

@@ -116,7 +116,20 @@ def run_bench(
         # G1's concurrent marking burned >2x the entire job's compute at high
         # thread counts (measured local[16] sf0.1x12: default G1 4333 cpu-s /
         # 340s wall vs ParallelGC 1848 cpu-s / 194s wall, identical output).
-        SPARK_GRAFT_JAVA_OPTS=f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(cpus, 2)}",
+        # Honors a caller override (like the width knobs). In cluster mode
+        # the default is WRONG per executor (the level ≠ per-JVM cores), so
+        # leave it unset there and let session.py derive per-executor cores
+        # from the local-cluster master string.
+        **(
+            {}
+            if master
+            else {
+                "SPARK_GRAFT_JAVA_OPTS": os.environ.get(
+                    "SPARK_GRAFT_JAVA_OPTS",
+                    f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(cpus, 2)}",
+                )
+            }
+        ),
     )
     if master:
         # e.g. local-cluster[2,4,4096]: SEPARATE executor JVMs — the faithful
