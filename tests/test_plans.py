@@ -213,3 +213,35 @@ def test_plan_triangle_counts_equi_joins_only(spark):
     # wedge closing is an equi-join on (x, y); orientation guarantees one
     # probe direction, so no cross product may appear anywhere
     assert "CartesianProduct" not in plan
+
+
+def test_plan_url_canonicalize_is_map_only(spark):
+    from graphiti_spark.datapipe.webstats import canonicalize_urls
+
+    plan = _plan(canonicalize_urls(_curation_docs(spark)))
+    assert "Exchange" not in plan  # pure column expressions, fusable with the scan
+
+
+def test_plan_url_dedup_single_agg_no_window(spark):
+    from graphiti_spark.datapipe.webstats import url_dedup
+
+    plan = _plan(url_dedup(_curation_docs(spark)))
+    assert plan.count("Exchange") == 1  # one hash agg on the canonical key
+    assert "Window" not in plan
+    # partial (map-side) aggregation must appear below the exchange
+    assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_plan_winnow_fingerprints_map_only(spark):
+    from graphiti_spark.datapipe.winnowing import winnow_fingerprints
+
+    plan = _plan(winnow_fingerprints(_curation_docs(spark)))
+    assert "Exchange" not in plan  # extraction fuses into the scan
+
+
+def test_plan_weighted_sample_keys_are_codegen_no_python(spark):
+    from graphiti_spark.datapipe.sampling import weighted_sample_k
+
+    df = _curation_docs(spark).withColumn("w", F.length("text").cast("double"))
+    plan = _plan(weighted_sample_k(df, k=5, weight_col="w", strata_col="url"))
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
