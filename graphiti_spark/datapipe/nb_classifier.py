@@ -93,6 +93,12 @@ def train_nb_classifier(
             F.sum(F.when(F.col(label_col), 0).otherwise(1)),
         ).collect()[0]
     )
+    if not docs_pos or not docs_neg:
+        raise ValueError(
+            f"seed must contain both classes (pos={docs_pos}, neg={docs_neg})"
+        )
+    if v == 0:
+        raise ValueError(f"no token reaches min_df={min_df} in the seed")
     import math
 
     token_odds = vocab.select(

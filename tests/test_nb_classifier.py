@@ -80,3 +80,17 @@ def test_scoring_plan_shape(spark, model):
     docs = spark.createDataFrame([(1, "good bad")], "doc_id long, text string")
     plan = nb_classifier_scores(docs, model)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # model never shuffles the corpus
+
+
+def test_single_class_or_empty_vocab_raise(spark):
+    one_class = spark.createDataFrame(
+        [(1, True, "a b"), (2, True, "a c")], "doc_id long, label boolean, text string"
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        train_nb_classifier(one_class, min_df=1)
+    all_rare = spark.createDataFrame(
+        [(1, True, "unique1"), (2, False, "unique2")],
+        "doc_id long, label boolean, text string",
+    )
+    with pytest.raises(ValueError, match="min_df"):
+        train_nb_classifier(all_rare, min_df=2)
