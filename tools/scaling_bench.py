@@ -165,9 +165,9 @@ def run_bench(
         for k in cpu_max:
             cpu_max[k] = max(cpu_max[k], s[k])
         time.sleep(2.0)
-        if time.time() - t0 > 1800:
+        if time.time() - t0 > int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", "1800")):
             proc.kill()
-            raise TimeoutError("bench run exceeded 1800s")
+            raise TimeoutError("bench run exceeded the scaling timeout")
     stdout = proc.stdout.read() if proc.stdout else ""
     wall = time.time() - t0
     json_lines = [l for l in stdout.strip().splitlines() if l.startswith("{")]
