@@ -1512,6 +1512,30 @@ def _q_kg_pages(spark, sf_dir):
     )
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    """WARC shard round-trip (sources/warc.py): pages -> WARC/1.0 response
+    records (HTTP envelope, CC layout) -> 8 member-concatenated shard blobs
+    -> parse back to the input_hint table. Oracle: the kg_pages golden — the
+    round-trip must reproduce the original table byte-for-byte (url, exact
+    epoch-micros, html, lang), which checks serializer AND Content-Length
+    parser against pinned bytes. Map-only except the one pack shuffle."""
+    from graphiti_spark.sources.warc import (
+        pack_warc_files,
+        parse_warc_files,
+        to_warc_records,
+    )
+    from graphiti_spark.synth import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    files = pack_warc_files(to_warc_records(pages), n_files=8)
+    return parse_warc_files(files).select(
+        "url",
+        F.unix_micros(F.col("warc_ts")).alias("ts_us"),
+        F.decode(F.col("html"), "UTF-8").alias("html"),
+        "lang",
+    )
+
+
 def _q_link_graph_edges(spark, sf_dir):
     """URL-level web link graph (datapipe/webgraph.py): href harvest from the
     html bytes (map-only decode+regex+explode) -> resolve against the source
@@ -2266,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_scores": _q_nb_quality,
         # --- web link graph (Common-Crawl-style crawl tier) ---
         "kg_pages": _q_kg_pages,
+        "warc_roundtrip": _q_warc_roundtrip,
         "link_graph_edges": _q_link_graph_edges,
         "host_link_stats": _q_host_link_stats,
         "hits_hosts": _q_hits_hosts,
@@ -2379,6 +2404,10 @@ def oracle_sql() -> dict[str, str]:
     # DAG fails the driver check outright.
     golden["kg_incremental_nodes"] = golden["kg_nodes"]
     golden["kg_incremental_edges"] = golden["kg_edges"]
+
+    # WARC round-trip contract: serialize->pack->parse must reproduce the
+    # pages table exactly, so its oracle IS the kg_pages golden.
+    golden["warc_roundtrip"] = golden["kg_pages"]
 
     return {
         **golden,

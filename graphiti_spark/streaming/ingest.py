@@ -58,6 +58,36 @@ def read_pages_stream(spark: SparkSession, pages_dir: str, max_files_per_trigger
     )
 
 
+def read_warc_stream(
+    spark: SparkSession,
+    warc_dir: str,
+    gzip_per_record: bool = False,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Stream Common-Crawl-style WARC shards landing in a directory into the
+    pages table: ``binaryFile`` source (one row per shard, never split — a
+    WARC shard is a record-concatenated unit) -> map-only parse
+    (sources/warc.py). A live crawl's shard drops ARE the ingest queue; this
+    is the front door for feeding `start_ingest`/`start_live_ingest` from
+    raw crawl output instead of pre-parsed parquet. maxFilesPerTrigger
+    bounds a micro-batch to N shards (~N GB at CC shard sizing)."""
+    from graphiti_spark.sources.warc import parse_warc_files
+
+    shards = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(warc_dir)
+    )
+    pages = parse_warc_files(
+        shards.select(F.col("content").alias("warc")), gzip_per_record=gzip_per_record
+    )
+    # text is null pre-extraction; S1 fills it per micro-batch.
+    return pages.withColumn("text", F.lit(None).cast("string")).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+
+
 def incremental_extract(pages_stream: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> tuple[DataFrame, DataFrame, DataFrame]:
     """S1-S4 on a stream: (episodes, mentions, triples) streaming frames.
     All map-only — no watermark/state needed."""
