@@ -203,6 +203,29 @@ def main() -> None:
     timed("ann_brute_topk", lambda: brute_force_topk(emb, qvec, k=20).count())
     timed("ann_lsh_topk", lambda: lsh_bucketed_topk(emb, qvec, k=20).count())
 
+    # WARC corpus front door: serialize the pages corpus into CC-style
+    # member-gzip shards once (not timed — a crawler writes these), then
+    # time the ingest-side parse back to the pages table.
+    from graphiti_spark.sources.warc import (
+        pack_warc_files,
+        parse_warc_files,
+        to_warc_records,
+    )
+
+    warc_shards = pack_warc_files(
+        to_warc_records(pages_from_documents(spark, sf_dir, replicate=replicate)),
+        n_files=64,
+        gzip_per_record=True,
+    ).persist()
+    warc_shards.count()
+    timed(
+        "warc_parse",
+        lambda: parse_warc_files(warc_shards, gzip_per_record=True)
+        .select(F.sum(F.length("url")))
+        .collect()[0][0],
+    )
+    warc_shards.unpersist()
+
     # link graph over the same pages corpus (map-only harvest + host agg)
     from graphiti_spark.datapipe.webgraph import extract_links, host_link_stats
 

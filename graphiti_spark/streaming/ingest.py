@@ -73,8 +73,13 @@ def read_warc_stream(
     bounds a micro-batch to N shards (~N GB at CC shard sizing)."""
     from graphiti_spark.sources.warc import parse_warc_files
 
+    # binaryFile's schema is FIXED by the source, but the streaming reader
+    # requires it stated explicitly (no inference on streams).
     shards = (
         spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
         .option("pathGlobFilter", "*.warc*")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(warc_dir)

@@ -152,3 +152,26 @@ def test_ppl_buckets_terciles(spark):
         "5": "tail",
         "6": "tail",
     }
+
+
+def test_order5_ccnet_shape(spark):
+    """Order-5 (the order CCNet's KenLM uses). Train corpus = the scored
+    document itself, "a b c d e a b c d e". Hand-derivation:
+      pos 1  (no context):      s_uni(a) = 2/10 = 0.2
+      pos 6  (ctx "b c d e"):   the context 4-gram occurs TWICE (positions
+                                2-5 and 7-10) but only the first has a
+                                continuation, so s5 = c5/c4 = 1/2 = 0.5
+      all other positions:      unique seen context at their level -> 1.0
+    avg_logprob = (log10(0.2) + log10(0.5)) / 10 = -0.1 exactly."""
+    from graphiti_spark.datapipe.lm_quality import lm_perplexity, train_backoff_lm
+
+    text = "a b c d e a b c d e"
+    tgt = spark.createDataFrame([("t", text)], "doc_id string, text string")
+    lm = train_backoff_lm(tgt, order=5)
+    rows = lm_perplexity(
+        spark.createDataFrame([("x", text)], "doc_id string, text string"), lm
+    ).collect()
+    avg = round((math.log10(0.2) + math.log10(0.5)) / 10, 6)
+    assert rows[0]["n_tokens"] == 10
+    assert rows[0]["avg_logprob"] == pytest.approx(avg, abs=1e-9)
+    assert rows[0]["ppl"] == pytest.approx(round(10.0 ** (-avg), 4), abs=1e-6)
