@@ -1936,6 +1936,26 @@ def _q_ngram_decontam(spark, sf_dir):
     return out.select("doc_id", F.col("n_collisions").cast("long").alias("n_collisions"))
 
 
+def _q_embedding_decontam(spark, sf_dir):
+    """Embedding-space eval decontamination (datapipe/decontam.py): eval =
+    every 37th vector, max cosine vs any eval vector per corpus vector via
+    broadcast nested-loop + per-doc max; nearest-id ties to the lower eval
+    id. Oracle: full cross-join recompute with a row_number window."""
+    from graphiti_spark.datapipe.decontam import embedding_decontam
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter((F.col("vec_id") % 37) == 1).select(
+        F.col("vec_id").cast("long").alias("eval_id"), "embedding"
+    )
+    out = embedding_decontam(emb, ev, threshold=0.95, id_col="vec_id")
+    return out.select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        "max_cos",
+        "nearest_eval_id",
+        "contaminated",
+    )
+
+
 def _q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide paragraph dedup over pseudo-paragraphs (aligned 16-token
     chunks — the synthetic docs are single-line, so paragraphs are
@@ -2323,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": _q_shard_plan,
         "shard_manifest": _q_shard_manifest,
         "ngram_decontam": _q_ngram_decontam,
+        "embedding_decontam": _q_embedding_decontam,
         "chunk_documents": _q_chunk_documents,
         "paragraph_dedup": _q_paragraph_dedup,
         "normalize_names": _q_normalize_names,
@@ -3309,6 +3330,22 @@ def oracle_sql() -> dict[str, str]:
                    unnest(chunks) AS chunk_text,
                    len(string_split(unnest(chunks), ' ')) AS n_tokens
             FROM ch
+        """,
+        "embedding_decontam": f"""
+            WITH ev AS (SELECT CAST(vec_id AS BIGINT) AS eval_id, embedding AS evv
+                        FROM embeddings WHERE vec_id % 37 = 1),
+            p AS (SELECT e.vec_id, ev.eval_id,
+                         {_COS.format(a="e.embedding", b="ev.evv")} AS cos
+                  FROM embeddings e CROSS JOIN ev),
+            r AS (SELECT vec_id, eval_id, cos,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cos DESC, eval_id) AS rn
+                  FROM p)
+            SELECT CAST(vec_id AS BIGINT) AS doc_id,
+                   round(cos, 6) AS max_cos,
+                   eval_id AS nearest_eval_id,
+                   cos >= 0.95 AS contaminated
+            FROM r WHERE rn = 1
         """,
         "ngram_decontam": f"""
             WITH tok AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

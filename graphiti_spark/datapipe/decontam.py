@@ -117,3 +117,106 @@ def paragraph_dedup(
             ).alias("deduped_text")
         )
     )
+
+
+def embedding_decontam(
+    corpus_embeddings: DataFrame,
+    eval_embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    use_gemm: bool = False,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: for every corpus document,
+    the maximum cosine similarity against ANY eval-set embedding, the
+    nearest eval id, and a ``contaminated`` flag at ``threshold``. The
+    semantic complement to `ngram_decontaminate`: n-gram overlap misses
+    paraphrased eval items; embedding similarity catches them (the
+    Llama-3 / phi-family decontamination recipe).
+
+    Returns (id, max_cos rounded 6dp, nearest_eval_id, contaminated).
+    Nearest-id ties (identical raw cosine) break to the LOWER eval id.
+
+    Scale shape at 100 TB: eval sets are small by construction (10^3-10^5
+    rows) — the eval side always BROADCASTS; the corpus side is map-only
+    (broadcast nested-loop + per-doc aggregate — no shuffle of the corpus,
+    no exchange at all after the scan). Two execution paths, same contract:
+
+      - default: one codegen'd expression per (doc, eval) pair via
+        ``cosine_col`` — exact, oracle-restatable in SQL;
+      - ``use_gemm=True``: Arrow-batched pandas UDF doing one float64
+        matrix multiply per batch against the collected eval matrix —
+        the 10-100x-faster path when |eval| is large; identical up to
+        float-summation association (tested against the exact path).
+    """
+    if use_gemm:
+        return _embedding_decontam_gemm(
+            corpus_embeddings, eval_embeddings, threshold, id_col, vec_col, eval_id_col
+        )
+    ev = eval_embeddings.select(
+        F.col(eval_id_col).alias("_eid"), F.col(vec_col).alias("_ev")
+    )
+    from graphiti_spark.functions.embeddings import cosine_col
+
+    pairs = corpus_embeddings.select(id_col, vec_col).crossJoin(F.broadcast(ev))
+    scored = pairs.select(
+        F.col(id_col),
+        F.struct(
+            cosine_col(F.col(vec_col), F.col("_ev")).alias("cos"),
+            (-F.col("_eid").cast("long")).alias("neg_eid"),
+        ).alias("s"),
+    )
+    best = scored.groupBy(id_col).agg(F.max("s").alias("b"))
+    return best.select(
+        id_col,
+        F.round(F.col("b.cos"), 6).alias("max_cos"),
+        (-F.col("b.neg_eid")).alias("nearest_eval_id"),
+        (F.col("b.cos") >= threshold).alias("contaminated"),
+    )
+
+
+def _embedding_decontam_gemm(
+    corpus_embeddings: DataFrame,
+    eval_embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    eval_id_col: str,
+) -> DataFrame:
+    """GEMM path: eval matrix (sorted by id — argmax first-hit == min id)
+    collected once, shipped in the UDF closure; per Arrow batch one
+    C @ E.T in float64. Zero-norm rows score 0.0 (cosine_col contract)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rows = eval_embeddings.select(eval_id_col, vec_col).sort(eval_id_col).collect()
+    eids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    emat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    enorm = np.linalg.norm(emat, axis=1)
+    enorm[enorm == 0] = np.inf  # zero-norm eval vectors score 0 vs everything
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cnorm[cnorm == 0] = np.inf
+            sims = (cmat @ emat.T) / np.outer(cnorm, enorm)
+            hit = np.argmax(sims, axis=1)  # first max -> lowest eval id
+            mx = sims[np.arange(len(cmat)), hit]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "max_cos": np.round(mx, 6),
+                    "nearest_eval_id": eids[hit],
+                    "contaminated": mx >= threshold,
+                }
+            )
+
+    out_schema = (
+        f"{id_col} {dict(corpus_embeddings.select(id_col).dtypes)[id_col]}, "
+        "max_cos double, nearest_eval_id long, contaminated boolean"
+    )
+    return corpus_embeddings.select(id_col, vec_col).mapInPandas(_score, out_schema)
