@@ -1164,6 +1164,39 @@ _URL_SQL = (
     "'/doc/', CAST(doc_id AS VARCHAR))"
 )
 
+# Shared CTE chain for the domain-quality oracles: per-doc 4-rule gopher
+# subset score (same expressions as the gopher_quality oracle's `w` CTE),
+# then registered domain off the deterministic URL layout.
+_DOMAIN_SCORE_CTES = f"""
+            u AS (SELECT doc_id, text, {_URL_SQL} AS url FROM documents),
+            t AS (SELECT doc_id, url, text, {_TOKS} AS tk FROM u),
+            s AS (SELECT doc_id, url,
+               round(CASE WHEN len(tk) > 0
+                     THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+                     ELSE 0 END, 6) AS mwl,
+               round(CASE WHEN len(tk) > 0
+                     THEN CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(tk)
+                     ELSE 0 END, 6) AS awf,
+               round(CASE WHEN len(tk) > 0
+                     THEN CAST((length(text) - length(replace(text, '#', '')))
+                               + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / len(tk)
+                     ELSE 0 END, 6) AS swr,
+               len(list_filter(list_distinct(tk),
+                   x -> x IN ('the','be','to','of','and','that','have','with'))) AS sh
+             FROM t),
+            sc AS (SELECT doc_id, url,
+               round((CAST(mwl BETWEEN 3.0 AND 10.0 AS INT) + CAST(awf >= 0.80 AS INT)
+                      + CAST(swr <= 0.10 AS INT) + CAST(sh >= 1 AS INT)) / 4.0, 6) AS score
+             FROM s),
+            h AS (SELECT *, string_split(
+                      regexp_extract(url, '{_HOST_RE_SQL}', 1), '.') AS labels,
+                      regexp_extract(url, '{_HOST_RE_SQL}', 1) AS host FROM sc),
+            d AS (SELECT doc_id, url, score,
+                      CASE WHEN len(labels) >= 2
+                           THEN concat(labels[-2], '.', labels[-1])
+                           ELSE host END AS domain
+                  FROM h)"""
+
 
 def _q_url_features(spark, sf_dir):
     from graphiti_spark.datapipe.webstats import url_features
@@ -1302,6 +1335,80 @@ def _q_url_dedup(spark, sf_dir):
         F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
         F.col("n_dups").cast("long").alias("n_dups"),
     )
+
+
+def _doc_quality_scores(docs):
+    """Compact per-document quality score: the fraction of four cheap
+    Gopher rules passed (mean word length 3-10, >=80% alphabetic words,
+    symbol-to-word ratio <=0.1, >=1 required stopword) — the per-doc
+    signal the domain-level gate aggregates. Same expressions as
+    quality.gopher_quality_flags, restated verbatim in the SQL twin."""
+    from graphiti_spark.functions.textstats import tokens_col
+
+    c = F.col("text")
+    toks = tokens_col(c)
+    n = F.size(toks)
+    mwl = F.round(
+        F.when(
+            n > 0,
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / n.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    awf = F.round(
+        F.when(
+            n > 0, F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n.cast("double")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    n_symbols = (
+        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ) + F.regexp_count(c, F.lit(r"\.\.\.|…"))
+    swr = F.round(
+        F.when(n > 0, n_symbols / n.cast("double")).otherwise(F.lit(0.0)), 6
+    )
+    from graphiti_spark.datapipe.quality import GOPHER_STOPWORDS
+
+    sh = F.size(F.filter(F.array_distinct(toks), lambda t: t.isin(*GOPHER_STOPWORDS)))
+    score = F.round(
+        (
+            mwl.between(3.0, 10.0).cast("int")
+            + (awf >= 0.80).cast("int")
+            + (swr <= 0.10).cast("int")
+            + (sh >= 1).cast("int")
+        )
+        / F.lit(4.0),
+        6,
+    )
+    return docs.select("doc_id", score.alias("score"))
+
+
+def _q_domain_quality(spark, sf_dir):
+    """Per registered domain: doc count + mean quality score
+    (webstats.domain_quality_stats) — the RefinedWeb-style host-level
+    curation signal. One groupBy on the bounded domain key space."""
+    from graphiti_spark.datapipe.webstats import domain_quality_stats
+
+    docs = _url_docs(spark, sf_dir)
+    out = domain_quality_stats(docs, _doc_quality_scores(docs))
+    return out.select(
+        "domain", F.col("n_docs").cast("long").alias("n_docs"), "mean_score"
+    )
+
+
+def _q_domain_quality_gate(spark, sf_dir):
+    """Documents surviving the domain-level gate
+    (webstats.domain_quality_gate): domains with >=5 docs and mean score
+    <0.9 are dropped wholesale; thinner domains pass to per-doc gates.
+    The bad-domain list broadcasts — the corpus never shuffles."""
+    from graphiti_spark.datapipe.webstats import domain_quality_gate
+
+    docs = _url_docs(spark, sf_dir)
+    kept = domain_quality_gate(
+        docs, _doc_quality_scores(docs), min_mean_score=0.9, min_docs=5
+    )
+    return kept.select("doc_id", "url")
 
 
 def _q_nb_quality(spark, sf_dir):
@@ -2307,6 +2414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "url_canonical": _q_url_canonical,
         "url_dedup": _q_url_dedup,
+        "domain_quality": _q_domain_quality,
+        "domain_quality_gate": _q_domain_quality_gate,
         "nb_quality_scores": _q_nb_quality,
         # --- web link graph (Common-Crawl-style crawl tier) ---
         "kg_pages": _q_kg_pages,
@@ -2815,6 +2924,21 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "url_canonical": _CANON_SQL,
+        "domain_quality": f"""
+            WITH {_DOMAIN_SCORE_CTES}
+            SELECT domain, count(*) AS n_docs, round(avg(score), 6) AS mean_score
+            FROM d GROUP BY domain
+        """,
+        "domain_quality_gate": f"""
+            WITH {_DOMAIN_SCORE_CTES},
+            agg AS (SELECT domain, count(*) AS n_docs,
+                           round(avg(score), 6) AS mean_score
+                    FROM d GROUP BY domain),
+            bad AS (SELECT domain FROM agg
+                    WHERE n_docs >= 5 AND mean_score < 0.9)
+            SELECT d.doc_id, d.url FROM d
+            LEFT JOIN bad USING (domain) WHERE bad.domain IS NULL
+        """,
         "nb_quality_scores": f"""
             WITH base AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
             toks AS (SELECT doc_id, lang, unnest(tk) AS token FROM base),

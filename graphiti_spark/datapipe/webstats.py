@@ -190,3 +190,68 @@ def filter_blocked_domains(
         .join(F.broadcast(blocked), "_blk_domain", "left_anti")
         .drop("_blk_domain")
     )
+
+
+def domain_quality_stats(
+    docs: DataFrame,
+    scores: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per registered domain: doc count and mean per-document quality score.
+
+    The domain-level curation signal the public pipelines act on
+    (RefinedWeb's host-level filtering, C4's curated domain lists are the
+    manual form): a *host* whose pages are consistently low-quality is a
+    better drop unit than any single page, because boilerplate farms and
+    SEO spam are host-shaped, not page-shaped.
+
+    ``scores`` is any (id, score) frame — gopher rule fractions, NB
+    class-probabilities (nb_classifier.py), LM perplexity buckets mapped to
+    numbers — the aggregation is signal-agnostic.
+
+    Plan shape at 100 TB: the id join co-shuffles docs and scores once on
+    the doc id (or is free if scores was derived from docs in the same
+    lineage); the groupBy key space is registered domains (≪ docs), so
+    map-side combine collapses each partition to ~|domains| rows before
+    one small exchange. No window, no skew exposure (hot domains combine
+    map-side).
+    """
+    dom = docs.select(F.col(id_col), domain_col(F.col(url_col)).alias("domain"))
+    joined = dom.join(scores.select(id_col, score_col), id_col)
+    return joined.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(score_col), 6).alias("mean_score"),
+    )
+
+
+def domain_quality_gate(
+    docs: DataFrame,
+    scores: DataFrame,
+    min_mean_score: float,
+    min_docs: int = 5,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Drop every document of a domain whose mean quality score is below
+    ``min_mean_score`` — but only when the domain has at least ``min_docs``
+    documents (below that, the evidence is too thin to condemn a host, so
+    its pages pass through to the per-document gates).
+
+    The bad-domain list is tiny by construction (bounded by |domains|), so
+    the gate is a broadcast LEFT ANTI join: at 100 TB the corpus never
+    shuffles — only the kilobyte/megabyte-scale domain verdicts move.
+    """
+    stats = domain_quality_stats(
+        docs, scores, url_col=url_col, id_col=id_col, score_col=score_col
+    )
+    bad = stats.filter(
+        (F.col("n_docs") >= min_docs) & (F.col("mean_score") < min_mean_score)
+    ).select(F.col("domain").alias("_bad_domain"))
+    return (
+        docs.withColumn("_bad_domain", domain_col(F.col(url_col)))
+        .join(F.broadcast(bad), "_bad_domain", "left_anti")
+        .drop("_bad_domain")
+    )

@@ -317,3 +317,65 @@ def test_weighted_sample_k_per_stratum(spark):
         by.setdefault(r["lang"], set()).add(r["doc_id"])
     assert len(by["a"]) == 5 and len(by["b"]) == 5
     assert all(i < 50 for i in by["a"]) and all(i >= 50 for i in by["b"])
+
+
+def test_domain_quality_stats_and_gate_hand_computed(spark):
+    from graphiti_spark.datapipe.webstats import (
+        domain_quality_gate,
+        domain_quality_stats,
+    )
+
+    # spam.com: 3 docs, scores 0.1/0.2/0.3 -> mean 0.2 (condemnable at
+    # min_docs=3); good.org: 3 docs mean 0.8; tiny.net: 1 low-score doc but
+    # below the evidence floor, so it must PASS the gate.
+    rows = [
+        (1, "https://a.spam.com/x", 0.1),
+        (2, "https://b.spam.com/y", 0.2),
+        (3, "https://spam.com/z", 0.3),
+        (4, "https://good.org/1", 0.7),
+        (5, "https://good.org/2", 0.8),
+        (6, "https://www.good.org/3", 0.9),
+        (7, "https://tiny.net/only", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    docs = df.select("doc_id", "url")
+    scores = df.select("doc_id", "score")
+
+    stats = {r["domain"]: r for r in domain_quality_stats(docs, scores).collect()}
+    assert stats["spam.com"]["n_docs"] == 3
+    assert stats["spam.com"]["mean_score"] == pytest.approx(0.2)
+    assert stats["good.org"]["mean_score"] == pytest.approx(0.8)
+    assert stats["tiny.net"]["n_docs"] == 1
+
+    kept = sorted(
+        r["doc_id"]
+        for r in domain_quality_gate(
+            docs, scores, min_mean_score=0.5, min_docs=3
+        ).collect()
+    )
+    assert kept == [4, 5, 6, 7]  # spam.com dropped; tiny.net passes the floor
+
+    # evidence floor at 1 condemns tiny.net too
+    kept1 = sorted(
+        r["doc_id"]
+        for r in domain_quality_gate(
+            docs, scores, min_mean_score=0.5, min_docs=1
+        ).collect()
+    )
+    assert kept1 == [4, 5, 6]
+
+
+def test_domain_quality_gate_is_broadcast_anti_join(spark):
+    from graphiti_spark.datapipe.webstats import domain_quality_gate
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example.com/p")).alias("url"),
+    )
+    scores = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10 / 10.0).alias("score")
+    )
+    plan = domain_quality_gate(docs, scores, 0.45, min_docs=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
