@@ -1337,6 +1337,31 @@ def _q_url_dedup(spark, sf_dir):
     )
 
 
+def _q_page_meta_flags(spark, sf_dir):
+    """Crawl-policy extraction (operators/extract_text.py:page_meta): robots
+    meta directives (name-first and content-first attribute order, any
+    case/quoting), <html lang> prior, and title — over deterministic html
+    variants built in pure SQL-expressible concat so the DuckDB oracle
+    reproduces the pages byte-for-byte and runs the identical regexps."""
+    from graphiti_spark.operators.extract_text import page_meta
+
+    d = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 5
+    html = F.concat(
+        F.when(v == 0, F.lit('<html lang="en-US"><head><meta name="robots" content="noindex">'))
+        .when(v == 1, F.lit("<html lang=de><head><meta content='noindex, nofollow' name='robots'>"))
+        .when(v == 2, F.lit('<html lang="fr"><head><META NAME=ROBOTS CONTENT="NOFOLLOW">'))
+        .when(v == 3, F.lit('<html><head><meta name="robots" content="all">'))
+        .otherwise(F.lit("<html lang=es><head>")),
+        F.lit("<title>Doc  "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>x</body></html>"),
+    )
+    pages = d.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    out = page_meta(pages)
+    return out.select("doc_id", "title", "html_lang", "robots", "noindex", "nofollow")
+
+
 def _doc_quality_scores(docs):
     """Compact per-document quality score: the fraction of four cheap
     Gopher rules passed (mean word length 3-10, >=80% alphabetic words,
@@ -2416,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "domain_quality": _q_domain_quality,
         "domain_quality_gate": _q_domain_quality_gate,
+        "page_meta_flags": _q_page_meta_flags,
         "nb_quality_scores": _q_nb_quality,
         # --- web link graph (Common-Crawl-style crawl tier) ---
         "kg_pages": _q_kg_pages,
@@ -2928,6 +2954,44 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DOMAIN_SCORE_CTES}
             SELECT domain, count(*) AS n_docs, round(avg(score), 6) AS mean_score
             FROM d GROUP BY domain
+        """,
+        "page_meta_flags": r"""
+            WITH p AS (SELECT doc_id,
+                concat(CASE doc_id % 5
+                  WHEN 0 THEN '<html lang="en-US"><head><meta name="robots" content="noindex">'
+                  WHEN 1 THEN concat('<html lang=de><head><meta content=', chr(39),
+                                     'noindex, nofollow', chr(39), ' name=', chr(39),
+                                     'robots', chr(39), '>')
+                  WHEN 2 THEN '<html lang="fr"><head><META NAME=ROBOTS CONTENT="NOFOLLOW">'
+                  WHEN 3 THEN '<html><head><meta name="robots" content="all">'
+                  ELSE '<html lang=es><head>' END,
+                  '<title>Doc  ', CAST(doc_id AS VARCHAR),
+                  '</title></head><body>x</body></html>') AS html
+                FROM documents),
+            m AS (SELECT doc_id, html,
+                regexp_extract(html,
+                  concat('(?is)<meta\s+name=["', chr(39), ']?robots["', chr(39),
+                         ']?\s+content=["', chr(39), ']([^"', chr(39), '>]*)["',
+                         chr(39), ']'), 1) AS name_first,
+                regexp_extract(html,
+                  concat('(?is)<meta\s+content=["', chr(39), ']([^"', chr(39),
+                         '>]*)["', chr(39), ']\s+name=["', chr(39), ']?robots["',
+                         chr(39), ']?'), 1) AS content_first,
+                regexp_extract(html,
+                  concat('(?is)<html[^>]*\s(?:lang)=["', chr(39), ']?([a-zA-Z-]+)'), 1)
+                  AS lang_raw,
+                regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title_raw
+                FROM p)
+            SELECT doc_id,
+                   trim(regexp_replace(title_raw, '\s+', ' ', 'g')) AS title,
+                   lower(lang_raw) AS html_lang,
+                   lower(CASE WHEN name_first <> '' THEN name_first
+                              ELSE content_first END) AS robots,
+                   contains(lower(CASE WHEN name_first <> '' THEN name_first
+                                       ELSE content_first END), 'noindex') AS noindex,
+                   contains(lower(CASE WHEN name_first <> '' THEN name_first
+                                       ELSE content_first END), 'nofollow') AS nofollow
+            FROM m
         """,
         "domain_quality_gate": f"""
             WITH {_DOMAIN_SCORE_CTES},

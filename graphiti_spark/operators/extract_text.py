@@ -86,3 +86,61 @@ def page_title_col(html: Column | str) -> Column:
     raw = F.decode(c, "UTF-8")
     t = F.regexp_extract(raw, r"(?is)<title[^>]*>(.*?)</title>", 1)
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# --- page-level meta directives (crawl-policy tier) -------------------------
+#
+# The first gate a crawl pipeline applies is the page's OWN policy: a
+# `<meta name="robots" content="noindex">` page must not enter the corpus
+# (the Common-Crawl convention), and `<html lang=...>` is the strongest
+# language prior available before any model-based langID. Both are cheap
+# JVM regexps over the raw bytes — map-only, zero shuffle, pushdown-safe —
+# and every pattern sits in the Java-regex / RE2 common subset so the
+# DuckDB oracle executes the identical extraction.
+#
+# Supported meta shape (documented subset of real HTML): name before
+# content OR content before name, single/double/no quotes, any case.
+
+_META_NAME_FIRST = (
+    r"""(?is)<meta\s+name=["']?robots["']?\s+content=["']([^"'>]*)["']"""
+)
+_META_CONTENT_FIRST = (
+    r"""(?is)<meta\s+content=["']([^"'>]*)["']\s+name=["']?robots["']?"""
+)
+_HTML_LANG = r"""(?is)<html[^>]*\slang=["']?([a-zA-Z-]+)"""
+
+
+def robots_directives_col(html: Column | str) -> Column:
+    """The robots meta content, lowercased ('' when the page has none):
+    name-first wins, content-first is the fallback."""
+    c = F.col(html) if isinstance(html, str) else html
+    raw = F.decode(c, "UTF-8")
+    name_first = F.regexp_extract(raw, _META_NAME_FIRST, 1)
+    content_first = F.regexp_extract(raw, _META_CONTENT_FIRST, 1)
+    return F.lower(F.when(name_first != "", name_first).otherwise(content_first))
+
+
+def html_lang_col(html: Column | str) -> Column:
+    """The <html lang=...> attribute, lowercased ('' when absent)."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.lower(F.regexp_extract(F.decode(c, "UTF-8"), _HTML_LANG, 1))
+
+
+def page_meta(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append page-policy columns: ``title``, ``html_lang``, ``robots``,
+    ``noindex``, ``nofollow``. Map-only (no exchange at any scale)."""
+    robots = robots_directives_col(F.col(html_col))
+    return (
+        pages.withColumn("title", page_title_col(F.col(html_col)))
+        .withColumn("html_lang", html_lang_col(F.col(html_col)))
+        .withColumn("robots", robots)
+        .withColumn("noindex", F.col("robots").contains("noindex"))
+        .withColumn("nofollow", F.col("robots").contains("nofollow"))
+    )
+
+
+def filter_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Drop pages whose robots meta says noindex — the crawl-policy gate
+    every public webtext pipeline applies before content filters. A pure
+    map-side predicate: at 100 TB it prunes rows inside the scan stage."""
+    return pages.filter(~robots_directives_col(F.col(html_col)).contains("noindex"))

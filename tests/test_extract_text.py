@@ -60,3 +60,48 @@ def test_pre_extracted_text_bypasses(spark):
     out = extract_text_stage(pages)
     row = out.filter(F.col("url") == "https://example.com/pretext").collect()[0]
     assert row["text"] == "Helix Labs funded Nova Robotics."
+
+
+def test_page_meta_hand_computed(spark):
+    from graphiti_spark.operators.extract_text import filter_noindex, page_meta
+
+    pages = [
+        # name-first, mixed case + quotes, both directives
+        (1, b'<html lang="en-US"><head>'
+            b'<META NAME=\'ROBOTS\' Content="NoIndex, nofollow">'
+            b"<title>A  Page</title></head><body>x</body></html>"),
+        # content-first attribute order, noindex only
+        (2, b'<html lang=de><head><meta content="noindex" name="robots">'
+            b"<title>B</title></head></html>"),
+        # no robots meta, no lang
+        (3, b"<html><head><title>C</title></head></html>"),
+        # robots meta naming a DIFFERENT bot-list value: kept
+        (4, b'<html lang="fr"><head><meta name="robots" content="all">'
+            b"</head></html>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html binary")
+    got = {r["doc_id"]: r for r in page_meta(df).collect()}
+    assert got[1]["robots"] == "noindex, nofollow"
+    assert got[1]["noindex"] and got[1]["nofollow"]
+    assert got[1]["html_lang"] == "en-us"
+    assert got[1]["title"] == "A Page"  # whitespace collapsed
+    assert got[2]["robots"] == "noindex" and got[2]["noindex"]
+    assert got[2]["html_lang"] == "de"
+    assert not got[2]["nofollow"]
+    assert got[3]["robots"] == "" and not got[3]["noindex"]
+    assert got[3]["html_lang"] == ""
+    assert got[4]["robots"] == "all" and not got[4]["noindex"]
+
+    kept = sorted(r["doc_id"] for r in filter_noindex(df).collect())
+    assert kept == [3, 4]
+
+
+def test_filter_noindex_is_map_only(spark):
+    from graphiti_spark.operators.extract_text import filter_noindex
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.lit("<html><head></head></html>"), "UTF-8").alias("html"),
+    )
+    plan = filter_noindex(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
