@@ -1362,6 +1362,141 @@ def _q_page_meta_flags(spark, sf_dir):
     return out.select("doc_id", "title", "html_lang", "robots", "noindex", "nofollow")
 
 
+def _og_canon_pages(spark, sf_dir):
+    """Deterministic pages exercising the structured-data extractors
+    (operators/structured_data.py): OpenGraph meta in both attribute
+    orders / either quote style / any case, and rel=canonical links —
+    absolute (honored, with a stripped tracking param and a mixed-case
+    host), relative (ignored), or absent. Groups of docs (doc_id % 50)
+    declare the SAME canonical target so canonical_dedup collapses real
+    syndication groups. Pure SQL-expressible concat: the DuckDB twin
+    rebuilds the html byte-for-byte and runs the identical regexps."""
+    d = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    grp = (F.col("doc_id") % 50).cast("string")
+    site = (F.col("doc_id") % 7).cast("string")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="T'), did,
+                F.lit('"><meta property="og:type" content="article">'),
+                F.lit('<link rel="canonical" href="https://Canon.example.com/s/'),
+                grp, F.lit('?utm_source=rss">'),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit('<meta content="T'), did,
+                F.lit('" property="og:title"><META CONTENT=\'Site '), site,
+                F.lit("' PROPERTY='og:site_name'>"),
+                F.lit('<LINK HREF="https://canon.example.com/s/'), grp,
+                F.lit('" REL="canonical">'),
+            ),
+        )
+        .when(v == 2, F.lit("<title>plain</title>"))
+        .otherwise(
+            F.concat(
+                F.lit("<meta property='og:url' content='https://self.example.com/p/"),
+                did,
+                F.lit("'><link rel=\"canonical\" href=\"/s/"), grp, F.lit('">'),
+            )
+        ),
+        F.lit("</head><body>x</body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://crawl"), (F.col("doc_id") % 9).cast("string"),
+        F.lit(".example.net/p/"), did,
+    )
+    return d.select(
+        F.col("doc_id"), url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+
+
+def _q_og_canonical_meta(spark, sf_dir):
+    """OpenGraph + rel=canonical extraction (structured_data.og_meta /
+    canonical_link_col) — map-only JVM regexps over raw bytes; the oracle
+    executes the identical patterns on identical bytes."""
+    from graphiti_spark.operators.structured_data import canonical_link_col, og_meta
+
+    pages = _og_canon_pages(spark, sf_dir)
+    return og_meta(pages).select(
+        "doc_id", "og_title", "og_type", "og_site_name", "og_url",
+        canonical_link_col("html").alias("canonical_link"),
+    )
+
+
+def _q_canonical_dedup(spark, sf_dir):
+    """URL dedup honoring each page's rel=canonical declaration
+    (structured_data.canonical_dedup): syndicated copies on unrelated
+    hosts collapse onto their declared canonical target (normalized by
+    webstats.canonical_url_col); relative/absent canonicals fall back to
+    the crawl URL. One hash aggregation on the canonical key."""
+    from graphiti_spark.operators.structured_data import canonical_dedup
+
+    out = canonical_dedup(_og_canon_pages(spark, sf_dir))
+    return out.select(
+        "canonical_url", "keep_url", F.col("n_dups").cast("long").alias("n_dups")
+    )
+
+
+def _jsonld_pages(spark, sf_dir):
+    """Deterministic pages carrying schema.org JSON-LD islands: a Person
+    with sameAs aliases + nested worksFor, a page with TWO islands
+    (Organization with url + bare Person), a malformed island (parse must
+    yield null, never a failed task), and an island-free page. Byte-exact
+    SQL-expressible concat."""
+    d = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 4
+    p = (F.col("doc_id") % 97).cast("string")
+    o = (F.col("doc_id") % 13).cast("string")
+    q = (F.col("doc_id") % 53).cast("string")
+    island_person = F.concat(
+        F.lit('<script type="application/ld+json">{"@type":"Person","name":"P'), p,
+        F.lit('","sameAs":["https://wd.example.org/Q'), p,
+        F.lit('","https://x.example.com/'), p,
+        F.lit('"],"worksFor":{"name":"Org'), o, F.lit('"}}</script>'),
+    )
+    island_two = F.concat(
+        F.lit('<script type="application/ld+json">{"@type":"Organization","name":"Org'),
+        o, F.lit('","url":"https://org'), o, F.lit('.example.com"}</script>'),
+        F.lit('<script type="application/ld+json">{"@type":"Person","name":"Q'),
+        q, F.lit('"}</script>'),
+    )
+    island_broken = F.lit(
+        '<script type="application/ld+json">{"name": broken</script>'
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(v == 0, island_person)
+        .when(v == 1, island_two)
+        .when(v == 2, island_broken)
+        .otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    url = F.concat(F.lit("https://jd.example.net/"), F.col("doc_id").cast("string"))
+    return d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+
+
+def _q_jsonld_triples(spark, sf_dir):
+    """JSON-LD islands -> schema.org subset -> explicit (subj, pred, obj)
+    triples with page provenance (structured_data.jsonld_*): the
+    site-published statements a web KG harvests before any NLP. Map-only
+    regexp + from_json + explode; malformed islands drop as null-name."""
+    from graphiti_spark.operators.structured_data import (
+        jsonld_blocks,
+        jsonld_entities,
+        jsonld_triples,
+    )
+
+    t = jsonld_triples(jsonld_entities(jsonld_blocks(_jsonld_pages(spark, sf_dir))))
+    return t.select("url", F.col("block_idx").cast("int").alias("block_idx"),
+                    "subj", "pred", "obj")
+
+
 def _doc_quality_scores(docs):
     """Compact per-document quality score: the fraction of four cheap
     Gopher rules passed (mean word length 3-10, >=80% alphabetic words,
@@ -2442,6 +2577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": _q_domain_quality,
         "domain_quality_gate": _q_domain_quality_gate,
         "page_meta_flags": _q_page_meta_flags,
+        "og_canonical_meta": _q_og_canonical_meta,
+        "canonical_dedup": _q_canonical_dedup,
+        "jsonld_triples": _q_jsonld_triples,
         "nb_quality_scores": _q_nb_quality,
         # --- web link graph (Common-Crawl-style crawl tier) ---
         "kg_pages": _q_kg_pages,
@@ -2497,6 +2635,183 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+
+def _sqlpat(pattern: str) -> str:
+    """Embed the EXACT Java/RE2-common regex the Spark operator runs into a
+    DuckDB string literal (single quotes doubled) — regex identity between
+    engine and oracle by construction, not by transcription."""
+    return pattern.replace("'", "''")
+
+
+# Byte-identical SQL rebuild of _og_canon_pages' html + url (quote style:
+# doubled single quotes inside the literal).
+_OG_CANON_PAGES_SQL = """
+    SELECT doc_id,
+      concat('https://crawl', CAST(doc_id % 9 AS VARCHAR), '.example.net/p/',
+             CAST(doc_id AS VARCHAR)) AS url,
+      concat('<html><head>',
+        CASE doc_id % 4
+          WHEN 0 THEN concat('<meta property="og:title" content="T',
+            CAST(doc_id AS VARCHAR),
+            '"><meta property="og:type" content="article">',
+            '<link rel="canonical" href="https://Canon.example.com/s/',
+            CAST(doc_id % 50 AS VARCHAR), '?utm_source=rss">')
+          WHEN 1 THEN concat('<meta content="T', CAST(doc_id AS VARCHAR),
+            '" property="og:title"><META CONTENT=''Site ',
+            CAST(doc_id % 7 AS VARCHAR),
+            ''' PROPERTY=''og:site_name''>',
+            '<LINK HREF="https://canon.example.com/s/',
+            CAST(doc_id % 50 AS VARCHAR), '" REL="canonical">')
+          WHEN 2 THEN '<title>plain</title>'
+          ELSE concat('<meta property=''og:url'' content=''https://self.example.com/p/',
+            CAST(doc_id AS VARCHAR), '''><link rel="canonical" href="/s/',
+            CAST(doc_id % 50 AS VARCHAR), '">')
+        END,
+        '</head><body>x</body></html>') AS html
+    FROM documents
+"""
+
+
+def _og_extract_sql(prop: str) -> str:
+    """First-match-wins OpenGraph extraction, same patterns as og_meta_col."""
+    from graphiti_spark.operators.structured_data import (
+        _og_content_first,
+        _og_prop_first,
+    )
+
+    pf, cf = _sqlpat(_og_prop_first(prop)), _sqlpat(_og_content_first(prop))
+    return (
+        f"CASE WHEN regexp_extract(html, '{pf}', 1) <> '' "
+        f"THEN regexp_extract(html, '{pf}', 1) "
+        f"ELSE regexp_extract(html, '{cf}', 1) END"
+    )
+
+
+def _canonical_link_sql() -> str:
+    from graphiti_spark.operators.structured_data import (
+        _CANON_HREF_FIRST,
+        _CANON_REL_FIRST,
+    )
+
+    rf, hf = _sqlpat(_CANON_REL_FIRST), _sqlpat(_CANON_HREF_FIRST)
+    return (
+        f"CASE WHEN regexp_extract(html, '{rf}', 1) <> '' "
+        f"THEN regexp_extract(html, '{rf}', 1) "
+        f"ELSE regexp_extract(html, '{hf}', 1) END"
+    )
+
+
+def _canon_norm_sql(inner: str, keep: str = "url") -> str:
+    """Restate webstats.canonical_url_col over column ``u`` of ``inner``
+    (same regexes / tracking list / sort as _CANON_SQL), carrying ``keep``."""
+    return f"""
+      SELECT {keep},
+             concat(scheme, '://', host2, port_part, path2, query_part)
+               AS canonical_url
+      FROM (
+        SELECT {keep}, scheme,
+          regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                         '^www\\.', '') AS host2,
+          CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443')
+               THEN '' ELSE concat(':', port) END AS port_part,
+          CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+               ELSE regexp_replace(raw_path, '/+$', '') END AS path2,
+          CASE WHEN len(params) > 0
+               THEN concat('?', array_to_string(params, '&'))
+               ELSE '' END AS query_part
+        FROM (
+          SELECT {keep}, scheme, hostport, raw_path,
+            regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+            list_sort(list_filter(string_split(query, '&'),
+              p -> p <> '' AND NOT regexp_matches(p,
+                '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)=')))
+              AS params
+          FROM (
+            SELECT {keep},
+              lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                AS scheme,
+              lower(regexp_extract(u,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+              regexp_extract(u,
+                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS raw_path,
+              regexp_extract(u, '\\?([^#]*)', 1) AS query
+            FROM ({inner})
+          )
+        )
+      )
+    """
+
+
+def _jsonld_oracle_sql() -> str:
+    """Full restatement of jsonld_blocks -> jsonld_entities ->
+    jsonld_triples over the byte-identical SQL rebuild of _jsonld_pages:
+    the EXACT block regex (imported, quote-escaped), index-preserving
+    explode, json_valid-guarded subset parse, and the four triple shapes."""
+    from graphiti_spark.operators.structured_data import _JSONLD_BLOCK_RE
+
+    pat = _sqlpat(_JSONLD_BLOCK_RE)
+    return f"""
+      WITH p AS (
+        SELECT concat('https://jd.example.net/', CAST(doc_id AS VARCHAR)) AS url,
+          concat('<html><head>',
+            CASE doc_id % 4
+              WHEN 0 THEN concat(
+                '<script type="application/ld+json">{{"@type":"Person","name":"P',
+                CAST(doc_id % 97 AS VARCHAR),
+                '","sameAs":["https://wd.example.org/Q',
+                CAST(doc_id % 97 AS VARCHAR),
+                '","https://x.example.com/', CAST(doc_id % 97 AS VARCHAR),
+                '"],"worksFor":{{"name":"Org', CAST(doc_id % 13 AS VARCHAR),
+                '"}}}}</script>')
+              WHEN 1 THEN concat(
+                '<script type="application/ld+json">{{"@type":"Organization","name":"Org',
+                CAST(doc_id % 13 AS VARCHAR), '","url":"https://org',
+                CAST(doc_id % 13 AS VARCHAR), '.example.com"}}</script>',
+                '<script type="application/ld+json">{{"@type":"Person","name":"Q',
+                CAST(doc_id % 53 AS VARCHAR), '"}}</script>')
+              WHEN 2 THEN '<script type="application/ld+json">{{"name": broken</script>'
+              ELSE ''
+            END,
+            '</head><body>x</body></html>') AS html
+        FROM documents),
+      m AS (SELECT url, regexp_extract_all(html, '{pat}', 1) AS blocks FROM p),
+      e AS (SELECT url,
+              unnest(list_transform(range(1, len(blocks)+1),
+                i -> {{'block_idx': i-1, 'jsonld': blocks[i]}}),
+                recursive := true)
+            FROM m),
+      pr AS (SELECT url, CAST(block_idx AS INT) AS block_idx,
+                    trim(jsonld) AS j FROM e),
+      pe AS (SELECT url, block_idx,
+              CASE WHEN json_valid(j)
+                   THEN json_extract_string(j, '$."@type"') END AS etype,
+              CASE WHEN json_valid(j)
+                   THEN json_extract_string(j, '$.name') END AS name,
+              CASE WHEN json_valid(j)
+                   THEN json_extract_string(j, '$.url') END AS entity_url,
+              CASE WHEN json_valid(j)
+                   THEN json_transform(json_extract(j, '$.sameAs'),
+                                       '["VARCHAR"]') END AS same_as,
+              CASE WHEN json_valid(j)
+                   THEN json_extract_string(j, '$.worksFor.name') END AS works_for
+             FROM pr),
+      ent AS (SELECT * FROM pe WHERE name IS NOT NULL AND name <> '')
+      SELECT url, block_idx, name AS subj, 'isA' AS pred, etype AS obj
+      FROM ent WHERE etype IS NOT NULL AND etype <> ''
+      UNION ALL
+      SELECT url, block_idx, name, 'url', entity_url
+      FROM ent WHERE entity_url IS NOT NULL AND entity_url <> ''
+      UNION ALL
+      SELECT url, block_idx, name, 'sameAs', s
+      FROM (SELECT url, block_idx, name, unnest(same_as) AS s
+            FROM ent WHERE same_as IS NOT NULL)
+      WHERE s <> ''
+      UNION ALL
+      SELECT url, block_idx, name, 'worksFor', works_for
+      FROM ent WHERE works_for IS NOT NULL AND works_for <> ''
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2993,6 +3308,29 @@ def oracle_sql() -> dict[str, str]:
                                        ELSE content_first END), 'nofollow') AS nofollow
             FROM m
         """,
+        "og_canonical_meta": f"""
+            WITH p AS ({_OG_CANON_PAGES_SQL})
+            SELECT doc_id,
+                   {_og_extract_sql("title")} AS og_title,
+                   {_og_extract_sql("type")} AS og_type,
+                   {_og_extract_sql("site_name")} AS og_site_name,
+                   {_og_extract_sql("url")} AS og_url,
+                   {_canonical_link_sql()} AS canonical_link
+            FROM p
+        """,
+        "canonical_dedup": f"""
+            WITH p AS ({_OG_CANON_PAGES_SQL}),
+            lk AS (SELECT url, {_canonical_link_sql()} AS link FROM p),
+            k AS (SELECT url,
+                    CASE WHEN regexp_matches(link, '^https?://') THEN link
+                         ELSE url END AS u
+                  FROM lk),
+            c AS ({_canon_norm_sql("SELECT * FROM k")})
+            SELECT canonical_url, min(url) AS keep_url,
+                   count(*) AS n_dups
+            FROM c GROUP BY canonical_url
+        """,
+        "jsonld_triples": _jsonld_oracle_sql(),
         "domain_quality_gate": f"""
             WITH {_DOMAIN_SCORE_CTES},
             agg AS (SELECT domain, count(*) AS n_docs,
