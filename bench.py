@@ -253,6 +253,26 @@ def main() -> None:
 
     timed("host_tld_modularity", _modularity)
 
+    # structured-data harvest over the webtext corpus (head-planted JSON-LD
+    # islands, og meta, rel=canonical syndication blocks): map-only
+    # regexp+from_json for the triples; ONE hash agg for the dedup.
+    from graphiti_spark.operators.structured_data import (
+        canonical_dedup,
+        jsonld_blocks,
+        jsonld_entities,
+        jsonld_triples,
+    )
+    from graphiti_spark.synth import webtext_pages as _wt_pages
+
+    wt = _wt_pages(spark, sf_dir).persist()
+    wt.count()
+    timed(
+        "jsonld_triples",
+        lambda: jsonld_triples(jsonld_entities(jsonld_blocks(wt))).count(),
+    )
+    timed("canonical_dedup", lambda: canonical_dedup(wt).count())
+    wt.unpersist()
+
     # SemDeDup over the embedding corpus (k-means + within-cell pairs + CC)
     from graphiti_spark.datapipe.dedup import semantic_dedup
 

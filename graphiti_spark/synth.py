@@ -374,17 +374,50 @@ def _entity_name(rank: int) -> str:
     return f"{a} {b}{suffix}" if suffix else f"{a} {b}"
 
 
+def _structured_head(doc_id: int, lead_entity: str) -> str:
+    """Deterministic structured-data block for a webtext page's <head>:
+    OpenGraph meta on every page, a schema.org JSON-LD island naming the
+    page's lead entity on ~60% (with a stable sameAs alias URL derived
+    from the entity name — the external-KB link entity resolution exploits),
+    and a rel=canonical declaration on ~25% in syndication blocks of 16
+    consecutive doc_ids (so canonical_dedup collapses real groups). Lives
+    entirely inside <head>, which the text extractor drops whole — the
+    extracted text, and thus every text-derived golden, is unchanged."""
+    h = int(hashlib.md5(f"sd:{doc_id}".encode()).hexdigest()[:8], 16)
+    parts = [
+        f'<meta property="og:title" content="Page {doc_id}">',
+        f'<meta property="og:site_name" content="Site {h % 11}">',
+    ]
+    if h % 10 < 6:
+        wd = int(hashlib.md5(lead_entity.encode()).hexdigest()[:6], 16)
+        parts.append(
+            '<script type="application/ld+json">'
+            f'{{"@type":"Organization","name":"{lead_entity}",'
+            f'"sameAs":["https://wd.example.org/Q{wd}"]}}'
+            "</script>"
+        )
+    if h % 4 == 0:
+        parts.append(
+            f'<link rel="canonical" href="https://wt-canon.example.com/a/{doc_id // 16}">'
+        )
+    return "".join(parts)
+
+
 def _build_webtext_html(doc_id: int, text: str) -> bytes:
     """Page html whose body paragraphs carry SVO sentences over the
     LONG-TAIL entity vocabulary (log-uniform rank: a hot head plus a
     unique-ish tail) — the realistic shape for the KG/incremental path, vs
-    `_build_html`'s adversarial ~31-token entity vocabulary."""
+    `_build_html`'s adversarial ~31-token entity vocabulary. The <head>
+    additionally carries the structured-data tier (_structured_head)."""
     words = (text or "").split() or ["empty", "page"]
     n_sent = 3 + int(hashlib.md5(f"wph:{doc_id}".encode()).hexdigest()[:4], 16) % 4
     sents = []
+    lead = ""
     for k in range(n_sent):
         h = int(hashlib.md5(f"wpe:{doc_id}:{k}".encode()).hexdigest()[:12], 16)
         subj = _entity_name(_zipf_rank(h, _ENTITY_VOCAB))
+        if k == 0:
+            lead = subj
         obj = _entity_name(_zipf_rank(h // 11, _ENTITY_VOCAB))
         if subj == obj:
             obj = _entity_name(1 + (_zipf_rank(h // 11, _ENTITY_VOCAB) % _ENTITY_VOCAB))
@@ -392,7 +425,8 @@ def _build_webtext_html(doc_id: int, text: str) -> bytes:
         filler = words[h % len(words)]
         sents.append(f"{subj} {verb} {obj} near the {filler} office.")
     paras = "".join(f"<p>{s}</p>" for s in sents)
-    return (_HEAD + _build_links(doc_id) + _NAV_CLOSE + paras + _TAIL).encode("utf-8")
+    head = _HEAD.replace("</head>", _structured_head(doc_id, lead) + "</head>", 1)
+    return (head + _build_links(doc_id) + _NAV_CLOSE + paras + _TAIL).encode("utf-8")
 
 
 def webtext_pages(spark: SparkSession, sf_dir: str) -> DataFrame:

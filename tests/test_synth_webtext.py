@@ -82,3 +82,41 @@ def test_webtext_pages_long_tail_entities(spark):
     hottest = max(r["count"] for r in by_name)
     assert hottest > 20  # a real zipf head exists...
     assert hottest < 3 * n_pages  # ...but no entity dominates every sentence
+
+
+def test_webtext_pages_structured_tier(spark):
+    """The webtext corpus carries the structured-data tier in <head>:
+    og meta on every page, a JSON-LD island naming the page's LEAD body
+    entity on a majority, and rel=canonical syndication blocks that
+    canonical_dedup collapses — while the extracted TEXT (and thus every
+    text-derived golden) is unchanged by the head block."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.extract_text import extract_text_stage
+    from graphiti_spark.operators.structured_data import (
+        canonical_dedup,
+        jsonld_entities,
+        jsonld_blocks,
+        og_meta,
+    )
+    from graphiti_spark.synth import webtext_pages
+
+    pages = webtext_pages(spark, "/root/testdata/sf0.001")
+    n = pages.count()
+
+    og = og_meta(pages)
+    assert og.filter(F.col("og_title").startswith("Page ")).count() == n
+
+    ents = jsonld_entities(jsonld_blocks(pages))
+    n_islands = ents.count()
+    assert 0.5 * n < n_islands < 0.7 * n  # ~60% plant rate
+    # every island names a real extracted entity from ITS OWN page's text
+    text = extract_text_stage(pages).select("url", "text")
+    joined = ents.join(text, "url")
+    mismatches = joined.filter(~F.col("text").contains(F.col("name"))).count()
+    assert mismatches == 0
+
+    groups = canonical_dedup(pages)
+    collapsed = groups.filter(F.col("n_dups") > 1)
+    assert collapsed.count() > 0  # syndication blocks collapse
+    assert groups.agg(F.sum("n_dups")).collect()[0][0] == n  # partition of pages
