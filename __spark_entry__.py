@@ -136,6 +136,46 @@ _HOST_LINKS_CTES = f"""
               WHERE dst_url IS NOT NULL)"""
 
 
+# Independent SCC truth for the bow-tie fixture graph (synth.
+# bowtie_fixture_edges, B=15): rebuild the identical 225-node edge list
+# arithmetically, then derive SCCs NOT by replaying the engine's coloring
+# algorithm but from first principles — a recursive-CTE reachability
+# closure, mutual-reachability pairs, scc_id = max of the mutual set.
+_BOWTIE_CTES = """
+            ids AS (SELECT range AS i FROM range(225)),
+            raw AS (
+              SELECT i AS s, (i+1)%60 AS t FROM ids WHERE i<60
+              UNION ALL SELECT i, (i+5)%60 FROM ids WHERE i<60
+              UNION ALL SELECT i, (i+17)%60 FROM ids WHERE i<60
+              UNION ALL SELECT i, (i+8)%60 FROM ids WHERE i<60
+              UNION ALL SELECT i, 60 + ((i-60) - ((i-60)%4)) + ((i-60+1)%4)
+                FROM ids WHERE i>=60 AND i<120
+              UNION ALL SELECT i, (7*((i-60)//4)) % 60
+                FROM ids WHERE i>=60 AND i<120 AND (i-60)%4=0
+              UNION ALL SELECT i, 120 + ((i-120) - ((i-120)%4)) + ((i-120+1)%4)
+                FROM ids WHERE i>=120 AND i<180
+              UNION ALL SELECT (11*i)%60, 120+4*i FROM ids WHERE i<15
+              UNION ALL SELECT i, i+1
+                FROM ids WHERE i>=180 AND i<225 AND (i-180)%3<2
+              UNION ALL SELECT i, 180 + 3*((i-60)//4)
+                FROM ids WHERE i>=60 AND i<120 AND (i-60)%4=1
+            ),
+            e AS (SELECT DISTINCT lpad(CAST(s AS VARCHAR), 3, '0') AS src,
+                                  lpad(CAST(t AS VARCHAR), 3, '0') AS dst
+                  FROM raw WHERE s <> t),
+            reach AS (SELECT src, dst FROM e
+                      UNION
+                      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+            nn AS (SELECT src AS uuid FROM e UNION SELECT dst FROM e),
+            mutual AS (SELECT a.src AS uuid, a.dst AS v
+                       FROM reach a JOIN reach b
+                         ON a.src = b.dst AND a.dst = b.src),
+            scc AS (SELECT uuid, max(v) AS scc_id FROM
+                      (SELECT uuid, uuid AS v FROM nn
+                       UNION ALL SELECT uuid, v FROM mutual)
+                    GROUP BY uuid)"""
+
+
 def _k_core_sql(k: int = 80, rounds: int = 10) -> str:
     """Unrolled-peel twin of graph_metrics.k_core on the part co-purchase
     graph: each round recomputes degrees and anti-joins the below-k set
@@ -2018,6 +2058,32 @@ def _q_span_dedup(spark, sf_dir):
     )
 
 
+def _q_scc_fixture(spark, sf_dir):
+    """Strongly connected components via the distributed coloring /
+    forward-backward peeling algorithm (graph_metrics.
+    strongly_connected_components) on the deterministic bow-tie fixture
+    graph (synth.bowtie_fixture_edges, B=15: 225 nodes — a 60-node core
+    SCC, 15 IN and 15 OUT 4-rings, 15 tendril chains). Fixed-size by
+    design: SCC truth is a transitive-closure property, and the DuckDB
+    twin computes it INDEPENDENTLY via a recursive-CTE reachability
+    closure + mutual-reachability max — tractable only at fixture scale."""
+    from graphiti_spark.analytics.graph_metrics import strongly_connected_components
+    from graphiti_spark.synth import bowtie_fixture_edges
+
+    return strongly_connected_components(bowtie_fixture_edges(spark, blocks=15))
+
+
+def _q_bowtie_fixture(spark, sf_dir):
+    """Broder bow-tie decomposition (graph_metrics.bowtie_classification)
+    of the same fixture graph: CORE = largest SCC, IN reaches it, OUT is
+    reached from it, OTHER = tendrils. Expected 60/60/60/45 split; the
+    oracle re-derives all four classes from the closure."""
+    from graphiti_spark.analytics.graph_metrics import bowtie_classification
+    from graphiti_spark.synth import bowtie_fixture_edges
+
+    return bowtie_classification(bowtie_fixture_edges(spark, blocks=15))
+
+
 def _q_k_core_parts(spark, sf_dir):
     """80-core of the part co-purchase graph (5 peel rounds at sf0.01,
     1857-node core — a real cascade, hand-probed). Spark peels to
@@ -2597,6 +2663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_parts": _q_adamic_adar_parts,
         "link_pred_parts": _q_link_pred_parts,
         "k_core_parts": _q_k_core_parts,
+        "scc_fixture": _q_scc_fixture,
+        "bowtie_fixture": _q_bowtie_fixture,
         "event_sessions": _q_event_sessions,
         "ppr_hosts": _q_ppr_hosts,
         "stratified_sample": _q_stratified_sample,
@@ -3629,6 +3697,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY adamic_adar DESC, uuid_a, uuid_b LIMIT 100
         """,
         "hits_hosts": _hits_hosts_sql(10),
+        "scc_fixture": f"""
+            WITH RECURSIVE {_BOWTIE_CTES}
+            SELECT uuid, scc_id FROM scc
+        """,
+        "bowtie_fixture": f"""
+            WITH RECURSIVE {_BOWTIE_CTES},
+            core1 AS (SELECT scc_id FROM scc GROUP BY scc_id
+                      ORDER BY count(*) DESC, scc_id DESC LIMIT 1),
+            coren AS (SELECT s.uuid FROM scc s, core1
+                      WHERE s.scc_id = core1.scc_id),
+            tocore AS (SELECT DISTINCT r.src AS uuid
+                       FROM reach r JOIN coren c ON r.dst = c.uuid),
+            fromcore AS (SELECT DISTINCT r.dst AS uuid
+                         FROM reach r JOIN coren c ON r.src = c.uuid)
+            SELECT s.uuid,
+                   CASE WHEN s.scc_id = core1.scc_id THEN 'CORE'
+                        WHEN tc.uuid IS NOT NULL THEN 'IN'
+                        WHEN fc.uuid IS NOT NULL THEN 'OUT'
+                        ELSE 'OTHER' END AS component
+            FROM scc s CROSS JOIN core1
+            LEFT JOIN tocore tc ON s.uuid = tc.uuid
+            LEFT JOIN fromcore fc ON s.uuid = fc.uuid
+        """,
         "pmi_collocations": f"""
             WITH tok AS (SELECT {_TOKS} AS tk FROM documents),
             p2 AS (SELECT string_split(bg, ' ')[1] AS w1,

@@ -298,6 +298,19 @@ def main() -> None:
     )
     timed("triangle_counts", lambda: triangle_counts(co).count())
 
+    # SCC + bow-tie on a scaled fixture graph (B=400 -> 6,000 nodes, ~27k
+    # edges, same condensation-DAG depth as the web shape): what this times
+    # is the coloring algorithm's loop structure — outer rounds = SCC-DAG
+    # chain length (4 here), inner iterations = peeled-subgraph diameter —
+    # NOT graph size, which only widens the per-iteration algebraic aggs.
+    from graphiti_spark.analytics.graph_metrics import bowtie_classification
+    from graphiti_spark.synth import bowtie_fixture_edges
+
+    timed(
+        "scc_bowtie",
+        lambda: bowtie_classification(bowtie_fixture_edges(spark, blocks=400)).count(),
+    )
+
     # --- incremental ingest: a 10% delta batch against a 90% pre-built graph
     # (plans/incremental.py). The timed number is the DELTA cost — the
     # add_episode-flow metric a live deployment cares about; the bootstrap is

@@ -521,3 +521,201 @@ def link_prediction(
             F.col("adamic_adar").desc(), F.col("uuid_a"), F.col("uuid_b")
         ).limit(top_k)
     return out
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 64,
+    max_iters: int = 256,
+) -> DataFrame:
+    """SCCs of a directed graph -> (uuid, scc_id), scc_id = MAX member id.
+
+    The coloring / forward-backward peeling algorithm (Orzan 2004; the
+    Pregel-style SCC used by distributed graph systems — Tarjan's stack is
+    inherently sequential and cannot shard):
+
+      repeat until no nodes remain:
+        1. FORWARD max-label propagation to fixpoint: color(v) = max id
+           over {v} ∪ {u : u reaches v} (one join + one algebraic max agg
+           per hop, lineage cut per iteration).
+        2. Roots are nodes with color(v) == v. For a root r, every member
+           m of SCC(r) has color(m) == r: r reaches m so color(m) >= r,
+           and an ancestor of m with id > r would also reach r,
+           contradicting color(r) == r.
+        3. BACKWARD reach from the roots restricted to equal color
+           collects exactly the SCCs: u with color(u) == r reaching r
+           means r reaches u AND u reaches r.
+        4. Peel the assigned nodes; unreached structure re-colors next
+           round.
+
+    Scale shape: every step is an equi-join + agg on (src|dst) — the same
+    shuffle key throughout, so a cluster co-partitions once. ALL current
+    roots peel in parallel, so outer rounds = longest chain in the SCC
+    condensation DAG (single digits on web-shaped graphs: IN -> CORE ->
+    OUT), not the SCC count; inner iterations = peeled-subgraph diameter.
+    Worst case (one long path) degrades to O(n) rounds like every label
+    propagation — the documented trade for shardability.
+    """
+    e_all = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    remaining_n = (
+        e_all.select(F.col("src").alias("uuid"))
+        .unionByName(e_all.select(F.col("dst").alias("uuid")))
+        .dropDuplicates(["uuid"])
+        .localCheckpoint(eager=True)
+    )
+    remaining_e = e_all
+    assigned_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        if remaining_n.isEmpty():
+            break
+        # 1. forward max propagation to fixpoint
+        colors = remaining_n.select("uuid", F.col("uuid").alias("color"))
+        for _ in range(max_iters):
+            inc = (
+                remaining_e.join(
+                    colors.withColumnRenamed("uuid", "src"), "src"
+                )
+                .groupBy(F.col("dst").alias("uuid"))
+                .agg(F.max("color").alias("_inc"))
+            )
+            new_colors = (
+                colors.join(inc, "uuid", "left")
+                .select(
+                    "uuid",
+                    F.greatest(F.col("color"), F.coalesce("_inc", "color")).alias(
+                        "color"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_colors.alias("n")
+                .join(colors.alias("o"), "uuid")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .isEmpty()
+            )
+            colors = new_colors
+            if changed:
+                break
+        # 2+3. backward reach from roots within equal color
+        frontier = colors.filter(F.col("color") == F.col("uuid")).select(
+            "uuid", F.col("color").alias("scc_id")
+        ).localCheckpoint(eager=True)
+        assigned = frontier
+        for _ in range(max_iters):
+            nxt = (
+                remaining_e.join(
+                    frontier.withColumnRenamed("uuid", "dst"), "dst"
+                )
+                .select(F.col("src").alias("uuid"), "scc_id")
+                .dropDuplicates(["uuid"])
+                .join(colors, "uuid")
+                .filter(F.col("color") == F.col("scc_id"))
+                .select("uuid", "scc_id")
+                .join(assigned.select("uuid"), "uuid", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            assigned = assigned.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        assigned_parts.append(assigned)
+        # 4. peel
+        remaining_n = remaining_n.join(
+            assigned.select("uuid"), "uuid", "left_anti"
+        ).localCheckpoint(eager=True)
+        remaining_e = (
+            remaining_e.join(
+                assigned.select(F.col("uuid").alias("src")), "src", "left_anti"
+            )
+            .join(assigned.select(F.col("uuid").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if not assigned_parts:
+        return e_all.select(
+            F.col("src").alias("uuid"), F.col("dst").alias("scc_id")
+        ).limit(0)
+    out = assigned_parts[0]
+    for part in assigned_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def bowtie_classification(
+    edges: DataFrame,
+    scc: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 256,
+) -> DataFrame:
+    """Broder et al. (2000) bow-tie decomposition of a directed graph ->
+    (uuid, component): CORE = the largest SCC (ties broken by max scc_id),
+    IN = reaches the core but is not in it, OUT = reachable from the core,
+    OTHER = tendrils / tubes / disconnected. The canonical macro-structure
+    analysis of a web crawl's host graph.
+
+    Shape: one SCC run (or a caller-provided assignment), one size agg,
+    then two frontier BFS loops (forward and backward from the core) —
+    each hop one equi-join + distinct + anti-join, lineage cut per hop.
+    A node both reaching and reached by the core is IN the core by
+    definition, so the three flags are mutually exclusive."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    if scc is None:
+        scc = strongly_connected_components(e)
+    scc = scc.localCheckpoint(eager=True)
+    top = (
+        scc.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.desc("scc_id"))
+        .limit(1)
+        .collect()
+    )
+    core_id = top[0]["scc_id"]
+    core = scc.filter(F.col("scc_id") == F.lit(core_id)).select("uuid")
+
+    def _reach(from_core: bool) -> DataFrame:
+        reached = core.localCheckpoint(eager=True)
+        frontier = reached
+        join_on, emit = ("src", "dst") if from_core else ("dst", "src")
+        for _ in range(max_iters):
+            nxt = (
+                e.join(frontier.withColumnRenamed("uuid", join_on), join_on)
+                .select(F.col(emit).alias("uuid"))
+                .dropDuplicates(["uuid"])
+                .join(reached, "uuid", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return reached
+
+    from_core = _reach(True).withColumnRenamed("uuid", "u_f").select(
+        F.col("u_f").alias("uuid"), F.lit(True).alias("_from")
+    )
+    to_core = _reach(False).select("uuid", F.lit(True).alias("_to"))
+    return (
+        scc.join(from_core, "uuid", "left")
+        .join(to_core, "uuid", "left")
+        .select(
+            "uuid",
+            F.when(F.col("scc_id") == F.lit(core_id), F.lit("CORE"))
+            .when(F.col("_to").isNotNull(), F.lit("IN"))
+            .when(F.col("_from").isNotNull(), F.lit("OUT"))
+            .otherwise(F.lit("OTHER"))
+            .alias("component"),
+        )
+    )

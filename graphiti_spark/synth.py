@@ -499,3 +499,83 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -
         F.lit(None).cast("string").alias("text"),
         F.col("lang"),
     )
+
+
+def bowtie_fixture_edges(spark: SparkSession, blocks: int = 15) -> DataFrame:
+    """Deterministic directed graph with a known bow-tie macro-structure
+    (Broder 2000), scale-parameterized by ``blocks`` (B). Node ids are
+    zero-padded strings so lexicographic max == numeric max:
+
+      CORE  [0, 4B):        one ring + chords (+1, +5, +17 mod 4B) — a
+                            single SCC of size 4B with small diameter
+      IN    [4B, 8B):       B directed 4-rings, each block's base node
+                            points INTO the core ((7b) mod 4B)
+      OUT   [8B, 12B):      B directed 4-rings, core ((11b) mod 4B)
+                            points into each block's base
+      OTHER [12B, 15B):     B tendril chains of 3 hanging off IN
+                            (reachable from IN only — neither reach nor
+                            are reached by the core)
+
+    Expected classification: 4B CORE, 4B IN, 4B OUT, 3B OTHER; SCC count
+    1 + 2B + 3B. Every edge is a pure column expression over spark.range —
+    the DuckDB twin restates the identical arithmetic."""
+    B = blocks
+    n = 15 * B
+    width = len(str(n))
+
+    def u(c):
+        return F.lpad(c.cast("string"), width, "0")
+
+    r = spark.range(n).select(F.col("id"))
+    i = F.col("id")
+    fam = []
+    core = r.filter(i < 4 * B)
+    # ring + fixed chords + one scale-proportional chord (4B//7): keeps the
+    # core's diameter (= the SCC inner-fixpoint iteration count) ~constant
+    # as B grows instead of O(B)
+    for off in (1, 5, 17, max(1, (4 * B) // 7)):
+        fam.append(core.select(u(i).alias("src"), u((i + off) % (4 * B)).alias("dst")))
+    inb = r.filter((i >= 4 * B) & (i < 8 * B))
+    j = i - 4 * B
+    fam.append(
+        inb.select(
+            u(i).alias("src"),
+            u(F.lit(4 * B) + (j - (j % 4)) + ((j + 1) % 4)).alias("dst"),
+        )
+    )
+    fam.append(
+        inb.filter(j % 4 == 0).select(
+            u(i).alias("src"),
+            u((F.lit(7) * F.floor(j / 4).cast("long")) % (4 * B)).alias("dst"),
+        )
+    )
+    outb = r.filter((i >= 8 * B) & (i < 12 * B))
+    k = i - 8 * B
+    fam.append(
+        outb.select(
+            u(i).alias("src"),
+            u(F.lit(8 * B) + (k - (k % 4)) + ((k + 1) % 4)).alias("dst"),
+        )
+    )
+    fam.append(
+        r.filter(i < B).select(
+            u((F.lit(11) * i) % (4 * B)).alias("src"),
+            u(F.lit(8 * B) + 4 * i).alias("dst"),
+        )
+    )
+    t = i - 12 * B
+    fam.append(
+        r.filter((i >= 12 * B) & (i < 15 * B) & (t % 3 < 2)).select(
+            u(i).alias("src"), u(i + 1).alias("dst")
+        )
+    )
+    fam.append(
+        inb.filter(j % 4 == 1).select(
+            u(i).alias("src"),
+            u(F.lit(12 * B) + F.lit(3) * F.floor(j / 4).cast("long")).alias("dst"),
+        )
+    )
+    out = fam[0]
+    for f in fam[1:]:
+        out = out.unionByName(f)
+    return out.dropDuplicates(["src", "dst"])

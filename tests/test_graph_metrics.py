@@ -278,3 +278,78 @@ def test_modularity_unassigned_nodes_grouped_null(spark):
     assert rows[None]["internal_edges"] == 0
     assert rows[None]["degree_sum"] == 1
     assert rows[None]["contribution"] == pytest.approx(-((1 / 8) ** 2), abs=1e-6)
+
+
+# --- SCC + bow-tie (hand-computed fixtures) ---------------------------------
+
+
+def _dir_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_scc_two_components_and_bridge(spark):
+    from graphiti_spark.analytics.graph_metrics import strongly_connected_components
+
+    e = _dir_edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"),  # SCC {a,b,c} -> id c
+         ("c", "d"),                            # bridge (one-way)
+         ("d", "e"), ("e", "d")],               # SCC {d,e} -> id e
+    )
+    got = {r["uuid"]: r["scc_id"] for r in strongly_connected_components(e).collect()}
+    assert got == {"a": "c", "b": "c", "c": "c", "d": "e", "e": "e"}
+
+
+def test_scc_pure_dag_is_all_singletons(spark):
+    from graphiti_spark.analytics.graph_metrics import strongly_connected_components
+
+    e = _dir_edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    got = {r["uuid"]: r["scc_id"] for r in strongly_connected_components(e).collect()}
+    assert got == {x: x for x in "abcd"}
+
+
+def test_scc_empty_and_self_loop_only(spark):
+    from graphiti_spark.analytics.graph_metrics import strongly_connected_components
+
+    e = _dir_edges(spark, []).filter("1=0")
+    assert strongly_connected_components(e).count() == 0
+
+
+def test_bowtie_classification_hand_fixture(spark):
+    from graphiti_spark.analytics.graph_metrics import bowtie_classification
+
+    e = _dir_edges(
+        spark,
+        [
+            ("m", "n"), ("n", "o"), ("o", "m"),  # core (largest SCC, size 3)
+            ("i", "m"),                             # IN
+            ("h", "i"),                             # IN (two hops)
+            ("o", "p"),                             # OUT
+            ("p", "q"),                             # OUT (two hops)
+            ("i", "t"),                             # tendril off IN -> OTHER
+            ("x", "y"), ("y", "x"),                # disconnected 2-SCC -> OTHER
+        ],
+    )
+    got = {r["uuid"]: r["component"] for r in bowtie_classification(e).collect()}
+    assert got == {
+        "m": "CORE", "n": "CORE", "o": "CORE",
+        "i": "IN", "h": "IN",
+        "p": "OUT", "q": "OUT",
+        "t": "OTHER", "x": "OTHER", "y": "OTHER",
+    }
+
+
+def test_bowtie_fixture_expected_split(spark):
+    """The parameterized fixture graph decomposes exactly as designed:
+    4B CORE / 4B IN / 4B OUT / 3B OTHER at B=15."""
+    from graphiti_spark.analytics.graph_metrics import bowtie_classification
+    from graphiti_spark.synth import bowtie_fixture_edges
+
+    got = {
+        r["component"]: r["count"]
+        for r in bowtie_classification(bowtie_fixture_edges(spark, blocks=15))
+        .groupBy("component")
+        .count()
+        .collect()
+    }
+    assert got == {"CORE": 60, "IN": 60, "OUT": 60, "OTHER": 45}
