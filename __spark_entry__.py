@@ -2168,6 +2168,18 @@ def _q_bpe_segment_stats(spark, sf_dir):
     )
 
 
+def _q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled sampling mixture by language (datapipe/sampling.
+    temperature_mixture_weights, alpha=0.3 — the XLM-R convention): one
+    algebraic agg + broadcast normalizers; the oracle restates
+    p_g = n_g^alpha / sum n^alpha directly."""
+    from graphiti_spark.datapipe.sampling import temperature_mixture_weights
+
+    return temperature_mixture_weights(
+        _t(spark, sf_dir, "documents"), group_col="lang", alpha=0.3
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     from graphiti_spark.datapipe.sampling import stratified_sample
 
@@ -2667,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_fixture": _q_bowtie_fixture,
         "event_sessions": _q_event_sessions,
         "ppr_hosts": _q_ppr_hosts,
+        "mixture_weights": _q_mixture_weights,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample_k": _q_weighted_sample_k,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -3408,6 +3421,16 @@ def oracle_sql() -> dict[str, str]:
                     WHERE n_docs >= 5 AND mean_score < 0.9)
             SELECT d.doc_id, d.url FROM d
             LEFT JOIN bad USING (domain) WHERE bad.domain IS NULL
+        """,
+        "mixture_weights": """
+            WITH per AS (SELECT lang AS "group", CAST(count(*) AS DOUBLE) AS n
+                         FROM documents GROUP BY lang),
+            tot AS (SELECT sum(n) AS tn, sum(pow(n, 0.3)) AS tp FROM per)
+            SELECT "group", n,
+                   round(n / tn, 6) AS share,
+                   round(pow(n, 0.3) / tp, 6) AS weight,
+                   round((pow(n, 0.3) / tp) / (n / tn), 6) AS boost
+            FROM per, tot
         """,
         "nb_quality_scores": f"""
             WITH base AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),

@@ -280,3 +280,55 @@ def weighted_sample_k(
         .filter(F.col("_es_rank") <= k)
         .drop("_es_rank")
     )
+
+
+def temperature_mixture_weights(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    size_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Temperature-scaled sampling mixture over groups (languages, domains,
+    sources): the multilingual-pretraining convention (mBERT/XLM-R's
+    exponential smoothing, alpha typically 0.3-0.7; alpha=1 reproduces the
+    natural distribution, alpha=0 the uniform one):
+
+        p_g = n_g^alpha / sum_h n_h^alpha
+
+    Returns one row per group: n (docs or sum of ``size_col``), the natural
+    share, the smoothed sampling weight p_g, and ``boost`` = p_g / share —
+    the up/down-sampling factor a sampler applies per group (low-resource
+    groups get boost > 1).
+
+    Shape: ONE algebraic aggregation on the group key (map-side combine
+    absorbs hot groups), then a broadcast 1-row crossJoin for the two
+    normalizers — no window, no second shuffle; group cardinality is
+    tiny (languages/domains), so the result itself broadcasts into
+    whatever sampler consumes it."""
+    n_expr = (
+        F.count(F.lit(1)).cast("double")
+        if size_col is None
+        else F.sum(F.col(size_col)).cast("double")
+    )
+    per = docs.groupBy(F.col(group_col).alias("group")).agg(n_expr.alias("n"))
+    tot = per.agg(
+        F.sum("n").alias("_tot_n"),
+        F.sum(F.pow("n", F.lit(float(alpha)))).alias("_tot_pa"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "group",
+            "n",
+            F.round(F.col("n") / F.col("_tot_n"), round_dp).alias("share"),
+            F.round(
+                F.pow("n", F.lit(float(alpha))) / F.col("_tot_pa"), round_dp
+            ).alias("weight"),
+            F.round(
+                (F.pow("n", F.lit(float(alpha))) / F.col("_tot_pa"))
+                / (F.col("n") / F.col("_tot_n")),
+                round_dp,
+            ).alias("boost"),
+        )
+    )

@@ -379,3 +379,29 @@ def test_domain_quality_gate_is_broadcast_anti_join(spark):
     plan = domain_quality_gate(docs, scores, 0.45, min_docs=2)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_temperature_mixture_weights_hand_computed(spark):
+    """alpha=0.5 over groups of 4 and 1 docs: weights 2/3 and 1/3, boosts
+    (2/3)/(4/5) = 5/6 and (1/3)/(1/5) = 5/3; alpha=1 reproduces the
+    natural shares; alpha=0 is uniform."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.datapipe.sampling import temperature_mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 4 else "de") for i in range(5)], "doc_id long, lang string"
+    )
+    got = {
+        r["group"]: r
+        for r in temperature_mixture_weights(docs, alpha=0.5).collect()
+    }
+    assert got["en"]["weight"] == round(2 / 3, 6)
+    assert got["de"]["weight"] == round(1 / 3, 6)
+    assert got["en"]["boost"] == round(5 / 6, 6)
+    assert got["de"]["boost"] == round(5 / 3, 6)
+
+    nat = {r["group"]: r for r in temperature_mixture_weights(docs, alpha=1.0).collect()}
+    assert nat["en"]["weight"] == nat["en"]["share"] == 0.8
+    uni = {r["group"]: r for r in temperature_mixture_weights(docs, alpha=0.0).collect()}
+    assert uni["en"]["weight"] == uni["de"]["weight"] == 0.5
