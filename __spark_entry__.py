@@ -2058,6 +2058,45 @@ def _q_span_dedup(spark, sf_dir):
     )
 
 
+def _q_kb_alias_pairs(spark, sf_dir):
+    """External-KB entity linking (operators/kb_link.kb_alias_pairs):
+    entities whose declared sameAs KB ids coincide pair up regardless of
+    name distance. Fixture: every doc contributes entity "P{n}" and every
+    third doc the variant "P{n} Inc", with alias assertions binding both
+    surface forms to the same wd Q-id; the oracle restates normalization
+    (functions/normalize SQL twin), the df-capped buckets, and the i<j
+    enumeration as a self-join."""
+    from graphiti_spark.functions.normalize import normalize_entity_name_col
+    from graphiti_spark.operators.kb_link import kb_alias_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 97).cast("string")
+    base = d.select(
+        F.lit("g").alias("group_id"),
+        F.concat(F.lit("a"), F.col("doc_id").cast("string")).alias("entity_uuid"),
+        F.concat(F.lit("P"), n).alias("name"),
+    )
+    variant = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.lit("g").alias("group_id"),
+        F.concat(F.lit("b"), F.col("doc_id").cast("string")).alias("entity_uuid"),
+        F.concat(F.lit("P"), n, F.lit(" Inc")).alias("name"),
+    )
+    ents = (
+        base.unionByName(variant)
+        .withColumn("name_norm", normalize_entity_name_col(F.col("name")))
+        .drop("name")
+    )
+    kb = F.concat(F.lit("https://wd.example.org/Q"), n)
+    aliases = d.select(
+        F.concat(F.lit("P"), n).alias("name"), kb.alias("kb_url")
+    ).unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.lit("P"), n, F.lit(" Inc")).alias("name"), kb.alias("kb_url")
+        )
+    )
+    return kb_alias_pairs(ents, aliases, max_df=50)
+
+
 def _q_scc_fixture(spark, sf_dir):
     """Strongly connected components via the distributed coloring /
     forward-backward peeling algorithm (graph_metrics.
@@ -2675,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_parts": _q_adamic_adar_parts,
         "link_pred_parts": _q_link_pred_parts,
         "k_core_parts": _q_k_core_parts,
+        "kb_alias_pairs": _q_kb_alias_pairs,
         "scc_fixture": _q_scc_fixture,
         "bowtie_fixture": _q_bowtie_fixture,
         "event_sessions": _q_event_sessions,
@@ -2896,7 +2936,10 @@ def _jsonld_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from graphiti_spark.functions.normalize import normalize_entity_name_enhanced_sql
+    from graphiti_spark.functions.normalize import (
+        normalize_entity_name_enhanced_sql,
+        normalize_entity_name_sql,
+    )
 
     _ENHANCED_NORM_SQL = normalize_entity_name_enhanced_sql("p_name")
     # --- pinned golden oracles for the Python-UDF KG pipeline ---------------
@@ -3720,6 +3763,44 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY adamic_adar DESC, uuid_a, uuid_b LIMIT 100
         """,
         "hits_hosts": _hits_hosts_sql(10),
+        "kb_alias_pairs": f"""
+            WITH raw_ents AS (
+              SELECT 'g' AS group_id,
+                     concat('a', CAST(doc_id AS VARCHAR)) AS entity_uuid,
+                     concat('P', CAST(doc_id % 97 AS VARCHAR)) AS name
+              FROM documents
+              UNION ALL
+              SELECT 'g', concat('b', CAST(doc_id AS VARCHAR)),
+                     concat('P', CAST(doc_id % 97 AS VARCHAR), ' Inc')
+              FROM documents WHERE doc_id % 3 = 0),
+            ents AS (SELECT group_id, entity_uuid,
+                            {normalize_entity_name_sql("name")} AS name_norm
+                     FROM raw_ents),
+            al0 AS (
+              SELECT concat('P', CAST(doc_id % 97 AS VARCHAR)) AS name,
+                     concat('https://wd.example.org/Q',
+                            CAST(doc_id % 97 AS VARCHAR)) AS kb_url
+              FROM documents
+              UNION ALL
+              SELECT concat('P', CAST(doc_id % 97 AS VARCHAR), ' Inc'),
+                     concat('https://wd.example.org/Q',
+                            CAST(doc_id % 97 AS VARCHAR))
+              FROM documents WHERE doc_id % 3 = 0),
+            al AS (SELECT DISTINCT {normalize_entity_name_sql("name")} AS name_norm,
+                                   kb_url
+                   FROM al0 WHERE {normalize_entity_name_sql("name")} <> ''),
+            hits AS (SELECT DISTINCT e.group_id, al.kb_url, e.entity_uuid
+                     FROM ents e JOIN al USING (name_norm)),
+            bk AS (SELECT group_id, kb_url, count(*) AS df
+                   FROM hits GROUP BY group_id, kb_url),
+            ok AS (SELECT h.* FROM hits h JOIN bk USING (group_id, kb_url)
+                   WHERE bk.df <= 50 AND bk.df >= 2)
+            SELECT x.group_id, x.entity_uuid AS uuid_a,
+                   y.entity_uuid AS uuid_b, x.kb_url
+            FROM ok x JOIN ok y
+              ON x.group_id = y.group_id AND x.kb_url = y.kb_url
+             AND x.entity_uuid < y.entity_uuid
+        """,
         "scc_fixture": f"""
             WITH RECURSIVE {_BOWTIE_CTES}
             SELECT uuid, scc_id FROM scc

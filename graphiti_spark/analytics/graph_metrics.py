@@ -585,24 +585,23 @@ def strongly_connected_components(
                 .groupBy(F.col("dst").alias("uuid"))
                 .agg(F.max("color").alias("_inc"))
             )
-            new_colors = (
+            # one join per hop: carry the pre-hop color alongside so the
+            # convergence probe is a filter on the checkpointed frame, not
+            # a second old-vs-new join
+            upd = (
                 colors.join(inc, "uuid", "left")
                 .select(
                     "uuid",
+                    F.col("color").alias("_old"),
                     F.greatest(F.col("color"), F.coalesce("_inc", "color")).alias(
                         "color"
                     ),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_colors.alias("n")
-                .join(colors.alias("o"), "uuid")
-                .filter(F.col("n.color") != F.col("o.color"))
-                .isEmpty()
-            )
-            colors = new_colors
-            if changed:
+            converged = upd.filter(F.col("color") != F.col("_old")).isEmpty()
+            colors = upd.select("uuid", "color")
+            if converged:
                 break
         # 2+3. backward reach from roots within equal color
         frontier = colors.filter(F.col("color") == F.col("uuid")).select(

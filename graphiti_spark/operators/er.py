@@ -472,13 +472,33 @@ def duplicate_pairs_stage(
     config: PipelineConfig = DEFAULT_CONFIG,
     embed_fn=None,
     external_embeddings: DataFrame | None = None,
+    kb_aliases: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """mentions -> (entity catalog, accepted duplicate pairs).
 
     ``embed_fn`` / ``external_embeddings``: real-model injection points for
     the pair-scorer cosine and the catalog's name_embedding column
-    respectively — see make_score_pair_udf / entity_catalog."""
+    respectively — see make_score_pair_udf / entity_catalog.
+
+    ``kb_aliases``: optional (name, kb_url) sameAs assertions (e.g.
+    structured_data.jsonld_entities -> kb_link.alias_table). Entities whose
+    declared KB ids coincide are merged with a sentinel score of 1.0 even
+    at zero name similarity — the declared-identity tier that sits ABOVE
+    the fuzzy/embedding scorer, exactly as the reference's explicit
+    duplicate_of edges outrank LLM judgment (edge_operations.py
+    build_duplicate_of_edges)."""
     ents = entity_catalog(mentions, external_embeddings=external_embeddings)
     pairs = candidate_pairs(ents, config)
     accepted = score_and_filter_pairs(ents, pairs, config, embed_fn=embed_fn)
+    if kb_aliases is not None:
+        from graphiti_spark.functions.ids import identity_normalize_udf
+        from graphiti_spark.operators.kb_link import kb_alias_pairs, merge_kb_pairs
+
+        kb = kb_alias_pairs(
+            ents,
+            kb_aliases,
+            max_df=config.blocking_token_max_df,
+            normalize=identity_normalize_udf,
+        )
+        accepted = merge_kb_pairs(accepted, kb.select("group_id", "uuid_a", "uuid_b"))
     return ents, accepted
