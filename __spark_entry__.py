@@ -2058,6 +2058,49 @@ def _q_span_dedup(spark, sf_dir):
     )
 
 
+def _q_robots_gate(spark, sf_dir):
+    """robots.txt REP-subset application (datapipe/robots.py): 7 synthetic
+    host policies (carve-out Allow under a Disallow, empty-Disallow group,
+    block-all, plus a non-wildcard group that must be ignored) against 4
+    URL shapes per doc. The oracle restates line splitting, the
+    nearest-preceding-user-agent window, rule extraction, and the
+    longest-match/Allow-wins decision with identical regexps."""
+    from graphiti_spark.datapipe.robots import apply_robots, robots_rules
+
+    d = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 7).cast("long")
+    ms = m.cast("string")
+    host = F.concat(F.lit("h"), ms, F.lit(".example.com"))
+    body = (
+        F.when(
+            m % 3 == 0,
+            F.concat(
+                F.lit("# policy\nUser-agent: *\nDisallow: /p"), ms,
+                F.lit("\nAllow: /p"), ms,
+                F.lit("/ok   # carve-out\nUser-agent: bot\nDisallow: /"),
+            ),
+        )
+        .when(
+            m % 3 == 1,
+            F.lit("User-Agent: bot\nDisallow: /\nuser-agent: *\nDisallow:"),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /"))
+    )
+    robots = d.select(host.alias("host"), body.alias("robots_txt")).dropDuplicates(
+        ["host"]
+    )
+    v = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(v == 0, F.concat(F.lit("/p"), ms, F.lit("/x"), did))
+        .when(v == 1, F.concat(F.lit("/p"), ms, F.lit("/ok/x"), did))
+        .when(v == 2, F.concat(F.lit("/open/x"), did))
+        .otherwise(F.concat(F.lit("/p"), ms))
+    )
+    pages = d.select(F.concat(F.lit("https://"), host, path).alias("url"))
+    return apply_robots(pages, robots_rules(robots)).select("url", "robots_allowed")
+
+
 def _q_kb_alias_pairs(spark, sf_dir):
     """External-KB entity linking (operators/kb_link.kb_alias_pairs):
     entities whose declared sameAs KB ids coincide pair up regardless of
@@ -2714,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_parts": _q_adamic_adar_parts,
         "link_pred_parts": _q_link_pred_parts,
         "k_core_parts": _q_k_core_parts,
+        "robots_gate": _q_robots_gate,
         "kb_alias_pairs": _q_kb_alias_pairs,
         "scc_fixture": _q_scc_fixture,
         "bowtie_fixture": _q_bowtie_fixture,
@@ -3763,6 +3807,82 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY adamic_adar DESC, uuid_a, uuid_b LIMIT 100
         """,
         "hits_hosts": _hits_hosts_sql(10),
+        "robots_gate": """
+            WITH hosts AS (SELECT DISTINCT doc_id % 7 AS m FROM documents),
+            robots AS (
+              SELECT concat('h', CAST(m AS VARCHAR), '.example.com') AS host,
+                CASE WHEN m % 3 = 0 THEN concat(
+                       '# policy', chr(10), 'User-agent: *', chr(10),
+                       'Disallow: /p', CAST(m AS VARCHAR), chr(10),
+                       'Allow: /p', CAST(m AS VARCHAR),
+                       '/ok   # carve-out', chr(10),
+                       'User-agent: bot', chr(10), 'Disallow: /')
+                     WHEN m % 3 = 1 THEN concat(
+                       'User-Agent: bot', chr(10), 'Disallow: /', chr(10),
+                       'user-agent: *', chr(10), 'Disallow:')
+                     ELSE concat('User-agent: *', chr(10), 'Disallow: /')
+                END AS robots_txt
+              FROM hosts),
+            ln0 AS (
+              SELECT host,
+                unnest(list_transform(range(1, len(ls)+1),
+                  i -> {'pos': i-1, 'raw': ls[i]}), recursive := true)
+              FROM (SELECT host, string_split(robots_txt, chr(10)) AS ls
+                    FROM robots)),
+            ln AS (SELECT host, pos,
+                          trim(regexp_replace(raw, '#.*$', '')) AS line
+                   FROM ln0),
+            grp AS (
+              SELECT host, pos, line,
+                last_value(CASE WHEN regexp_matches(line, '(?i)^user-agent:')
+                                THEN trim(regexp_extract(line,
+                                     '(?i)^user-agent:\s*(.*)$', 1)) END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY host ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cur_ua
+              FROM ln),
+            rules AS (
+              SELECT DISTINCT host,
+                lower(regexp_extract(line, '(?i)^(allow|disallow):', 1))
+                  AS rule_type,
+                trim(regexp_extract(line,
+                     '(?i)^(?:allow|disallow):\s*(.*)$', 1)) AS path_prefix
+              FROM grp WHERE cur_ua = '*'),
+            rules2 AS (SELECT host, rule_type, path_prefix,
+                              length(path_prefix) AS rule_len
+                       FROM rules
+                       WHERE rule_type <> '' AND path_prefix <> ''),
+            pages AS (
+              SELECT concat('https://h', CAST(doc_id % 7 AS VARCHAR),
+                            '.example.com',
+                CASE doc_id % 4
+                  WHEN 0 THEN concat('/p', CAST(doc_id % 7 AS VARCHAR),
+                                     '/x', CAST(doc_id AS VARCHAR))
+                  WHEN 1 THEN concat('/p', CAST(doc_id % 7 AS VARCHAR),
+                                     '/ok/x', CAST(doc_id AS VARCHAR))
+                  WHEN 2 THEN concat('/open/x', CAST(doc_id AS VARCHAR))
+                  ELSE concat('/p', CAST(doc_id % 7 AS VARCHAR))
+                END) AS url
+              FROM documents),
+            keyed AS (
+              SELECT url,
+                regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path
+              FROM pages),
+            hit AS (
+              SELECT k.url, r.rule_type, r.rule_len,
+                row_number() OVER (PARTITION BY k.url
+                  ORDER BY r.rule_len DESC,
+                           CASE WHEN r.rule_type = 'allow' THEN 1 ELSE 0 END DESC)
+                  AS rn
+              FROM keyed k JOIN rules2 r
+                ON k.host = r.host AND starts_with(k.path, r.path_prefix)),
+            best AS (SELECT url, (rule_type = 'allow') AS hit_allowed
+                     FROM hit WHERE rn = 1)
+            SELECT k.url, coalesce(b.hit_allowed, TRUE) AS robots_allowed
+            FROM keyed k LEFT JOIN best b ON k.url = b.url
+        """,
         "kb_alias_pairs": f"""
             WITH raw_ents AS (
               SELECT 'g' AS group_id,
