@@ -2058,6 +2058,21 @@ def _q_span_dedup(spark, sf_dir):
     )
 
 
+def _q_entity_pmi(spark, sf_dir):
+    """Entity-level PMI association edges over episodic co-mentions
+    (graph_metrics.entity_cooccurrence_pmi) on the canonical KG mentions —
+    the "related entities" candidate generator. Oracle: full restatement
+    (distinct co-mention pairs, df-capped episodes, marginals, ln PMI)
+    over the pinned kg_mentions golden, valid at the driver's sf0.01."""
+    from graphiti_spark.analytics.graph_metrics import entity_cooccurrence_pmi
+
+    out = _pipeline(spark, sf_dir)
+    return entity_cooccurrence_pmi(out["mentions"]).select(
+        "group_id", "uuid_a", "uuid_b",
+        F.col("c_ab").cast("long").alias("c_ab"), "pmi",
+    )
+
+
 def _q_robots_gate(spark, sf_dir):
     """robots.txt REP-subset application (datapipe/robots.py): 7 synthetic
     host policies (carve-out Allow under a Disallow, empty-Disallow group,
@@ -2757,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_parts": _q_adamic_adar_parts,
         "link_pred_parts": _q_link_pred_parts,
         "k_core_parts": _q_k_core_parts,
+        "entity_pmi": _q_entity_pmi,
         "robots_gate": _q_robots_gate,
         "kb_alias_pairs": _q_kb_alias_pairs,
         "scc_fixture": _q_scc_fixture,
@@ -3807,6 +3823,34 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY adamic_adar DESC, uuid_a, uuid_b LIMIT 100
         """,
         "hits_hosts": _hits_hosts_sql(10),
+        "entity_pmi": f"""
+            WITH em AS (SELECT DISTINCT group_id, episode_uuid, entity_uuid
+                        FROM read_parquet('{_GOLDEN_DIR}/kg_mentions.parquet')),
+            n AS (SELECT group_id, count(DISTINCT episode_uuid) AS n_eps
+                  FROM em GROUP BY group_id),
+            marg AS (SELECT group_id, entity_uuid, count(*) AS c
+                     FROM em GROUP BY group_id, entity_uuid),
+            elig AS (SELECT group_id, episode_uuid FROM em
+                     GROUP BY group_id, episode_uuid
+                     HAVING count(*) <= 200 AND count(*) >= 2),
+            pr AS (SELECT a.group_id, a.episode_uuid,
+                          a.entity_uuid AS ua, b.entity_uuid AS ub
+                   FROM em a
+                   JOIN em b ON a.group_id = b.group_id
+                     AND a.episode_uuid = b.episode_uuid
+                     AND a.entity_uuid < b.entity_uuid
+                   JOIN elig e ON a.group_id = e.group_id
+                     AND a.episode_uuid = e.episode_uuid),
+            pc AS (SELECT group_id, ua, ub, count(*) AS c_ab FROM pr
+                   GROUP BY group_id, ua, ub HAVING count(*) >= 2)
+            SELECT pc.group_id, ua AS uuid_a, ub AS uuid_b, c_ab,
+                   round(ln(CAST(c_ab AS DOUBLE) * n.n_eps
+                            / (CAST(ma.c AS DOUBLE) * mb.c)), 6) AS pmi
+            FROM pc
+            JOIN marg ma ON pc.group_id = ma.group_id AND pc.ua = ma.entity_uuid
+            JOIN marg mb ON pc.group_id = mb.group_id AND pc.ub = mb.entity_uuid
+            JOIN n ON pc.group_id = n.group_id
+        """,
         "robots_gate": """
             WITH hosts AS (SELECT DISTINCT doc_id % 7 AS m FROM documents),
             robots AS (

@@ -718,3 +718,77 @@ def bowtie_classification(
             .alias("component"),
         )
     )
+
+
+def entity_cooccurrence_pmi(
+    mentions: DataFrame,
+    min_count: int = 2,
+    episode_cap: int = 200,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Entity-level PMI association edges from episodic co-mentions:
+    (group_id, uuid_a, uuid_b, c_ab, pmi) with
+
+        pmi = ln( (c_ab / N) / ((c_a / N) * (c_b / N)) )
+            = ln( c_ab * N / (c_a * c_b) )
+
+    over episodes as the context unit — the entity-graph analogue of the
+    token-level ``pmi_collocations``, and the standard "related entities"
+    candidate generator a KG adds edges from when no explicit triple links
+    two canonical entities (Church & Hanks 1990 applied to entity linking).
+
+    Shape: distinct (group, episode, entity) -> per-episode pair
+    enumeration via the ER blockers' single-agg df-capped bucket
+    enumerator (an episode mentioning >``episode_cap`` entities is a
+    boilerplate page, not signal — the documented skew guard), then one
+    count agg per pair and two broadcast-sized marginal joins. The corpus
+    shuffles on episode_uuid once and on the pair key once."""
+    from graphiti_spark.operators.er import _bucket_pairs
+
+    em = mentions.select("group_id", "episode_uuid", "entity_uuid").dropDuplicates()
+    n_eps = (
+        em.select("group_id", "episode_uuid")
+        .dropDuplicates()
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("n_eps"))
+    )
+    marg = em.groupBy("group_id", "entity_uuid").agg(F.count(F.lit(1)).alias("c"))
+    pairs = _bucket_pairs(em, ["group_id", "episode_uuid"], episode_cap)
+    pc = (
+        pairs.groupBy("group_id", "uuid_a", "uuid_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    return (
+        pc.join(
+            marg.select(
+                "group_id",
+                F.col("entity_uuid").alias("uuid_a"),
+                F.col("c").alias("c_a"),
+            ),
+            ["group_id", "uuid_a"],
+        )
+        .join(
+            marg.select(
+                "group_id",
+                F.col("entity_uuid").alias("uuid_b"),
+                F.col("c").alias("c_b"),
+            ),
+            ["group_id", "uuid_b"],
+        )
+        .join(n_eps, "group_id")
+        .select(
+            "group_id",
+            "uuid_a",
+            "uuid_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_eps")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                round_dp,
+            ).alias("pmi"),
+        )
+    )

@@ -353,3 +353,39 @@ def test_bowtie_fixture_expected_split(spark):
         .collect()
     }
     assert got == {"CORE": 60, "IN": 60, "OUT": 60, "OTHER": 45}
+
+
+def test_entity_cooccurrence_pmi_hand_computed(spark):
+    """4 episodes, entities A/B/C: c_A=3, c_B=3, c_C=1, A-B co-occur
+    twice -> pmi = ln(2*4/9); A-C once (filtered at min_count=2, present
+    with pmi = ln(4/3) at min_count=1)."""
+    import math
+
+    from graphiti_spark.analytics.graph_metrics import entity_cooccurrence_pmi
+
+    mentions = spark.createDataFrame(
+        [
+            ("g", "e1", "A"), ("g", "e1", "B"),
+            ("g", "e2", "A"), ("g", "e2", "B"),
+            ("g", "e3", "A"), ("g", "e3", "C"),
+            ("g", "e4", "B"),
+            # duplicate mention of the same entity in one episode must not
+            # double-count
+            ("g", "e1", "A"),
+        ],
+        "group_id string, episode_uuid string, entity_uuid string",
+    )
+    got = {(r["uuid_a"], r["uuid_b"]): r for r in entity_cooccurrence_pmi(mentions).collect()}
+    assert set(got) == {("A", "B")}
+    assert got[("A", "B")]["c_ab"] == 2
+    assert got[("A", "B")]["pmi"] == round(math.log(2 * 4 / 9), 6)
+
+    all_pairs = {
+        (r["uuid_a"], r["uuid_b"]): r["pmi"]
+        for r in entity_cooccurrence_pmi(mentions, min_count=1).collect()
+    }
+    assert all_pairs[("A", "C")] == round(math.log(4 / 3), 6)
+
+    # episode cap drops a boilerplate episode entirely
+    capped = entity_cooccurrence_pmi(mentions, min_count=1, episode_cap=1)
+    assert capped.count() == 0
