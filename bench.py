@@ -106,6 +106,13 @@ def main() -> None:
         .select("source_node_uuid", "target_node_uuid")
         .localCheckpoint(eager=True)
     )
+    # 3-column mention slice survives alongside the edge list (entity_pmi
+    # needs only these; the wide frames are what pin the heap)
+    mentions_slim = (
+        out["mentions"]
+        .select("group_id", "episode_uuid", "entity_uuid")
+        .localCheckpoint(eager=True)
+    )
     out.clear()
     spark._jvm.System.gc()
 
@@ -280,6 +287,33 @@ def main() -> None:
         "semdedup",
         lambda: semantic_dedup(emb, k=8, threshold=0.92).filter("is_kept").count(),
     )
+
+    # entity-level PMI association edges over the canonical mentions
+    from graphiti_spark.analytics.graph_metrics import entity_cooccurrence_pmi
+
+    timed("entity_pmi", lambda: entity_cooccurrence_pmi(mentions_slim).count())
+
+    # robots.txt gate: one synthetic wildcard policy per host, applied with
+    # one host equi-join + one max-struct agg over the full pages corpus
+    from graphiti_spark.datapipe.robots import apply_robots, robots_rules
+
+    def _robots() -> int:
+        pg = pages_from_documents(spark, sf_dir, replicate=replicate)
+        hosts = pg.select(
+            F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host")
+        ).distinct()
+        robots = hosts.withColumn(
+            "robots_txt",
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /doc/"),
+                (F.crc32("host") % 10).cast("string"),
+            ),
+        )
+        return (
+            apply_robots(pg, robots_rules(robots)).filter("robots_allowed").count()
+        )
+
+    timed("robots_gate", _robots)
 
     timed("degree_centrality", lambda: degree_centrality(edges).count())
     timed("kg_pagerank10", lambda: pagerank(edges, iterations=10).count())
