@@ -141,7 +141,7 @@ _HOST_LINKS_CTES = f"""
 # arithmetically, then derive SCCs NOT by replaying the engine's coloring
 # algorithm but from first principles — a recursive-CTE reachability
 # closure, mutual-reachability pairs, scc_id = max of the mutual set.
-_BOWTIE_CTES = """
+_BOWTIE_CTES_TMPL = """
             ids AS (SELECT range AS i FROM range(225)),
             raw AS (
               SELECT i AS s, (i+1)%60 AS t FROM ids WHERE i<60
@@ -159,6 +159,7 @@ _BOWTIE_CTES = """
                 FROM ids WHERE i>=180 AND i<225 AND (i-180)%3<2
               UNION ALL SELECT i, 180 + 3*((i-60)//4)
                 FROM ids WHERE i>=60 AND i<120 AND (i-60)%4=1
+              {tube_edges}
             ),
             e AS (SELECT DISTINCT lpad(CAST(s AS VARCHAR), 3, '0') AS src,
                                   lpad(CAST(t AS VARCHAR), 3, '0') AS dst
@@ -174,6 +175,15 @@ _BOWTIE_CTES = """
                       (SELECT uuid, uuid AS v FROM nn
                        UNION ALL SELECT uuid, v FROM mutual)
                     GROUP BY uuid)"""
+
+
+_BOWTIE_TUBE_EDGES = """
+              UNION ALL SELECT 60+4*i+2, 225+i FROM ids WHERE i<15
+              UNION ALL SELECT 225+i, 120+4*i+2 FROM ids WHERE i<15
+              UNION ALL SELECT 240+i, 120+4*i+3 FROM ids WHERE i<15
+              UNION ALL SELECT 255+i, 255+i+1 FROM ids WHERE i<15 AND i%2=0"""
+_BOWTIE_CTES = _BOWTIE_CTES_TMPL.format(tube_edges="")
+_BOWTIE_CTES_TUBES = _BOWTIE_CTES_TMPL.format(tube_edges=_BOWTIE_TUBE_EDGES)
 
 
 def _k_core_sql(k: int = 80, rounds: int = 10) -> str:
@@ -2181,6 +2191,20 @@ def _q_bowtie_fixture(spark, sf_dir):
     return bowtie_classification(bowtie_fixture_edges(spark, blocks=15))
 
 
+def _q_bowtie_taxonomy(spark, sf_dir):
+    """Full Broder taxonomy (bowtie_classification(full_taxonomy=True)) on
+    the tube-extended fixture: OTHER refines into TUBE / TENDRIL_IN /
+    TENDRIL_OUT / DISCONNECTED, decided by forward reach from IN and
+    backward reach from OUT. Oracle re-derives every class from the
+    recursive-CTE closure."""
+    from graphiti_spark.analytics.graph_metrics import bowtie_classification
+    from graphiti_spark.synth import bowtie_fixture_edges
+
+    return bowtie_classification(
+        bowtie_fixture_edges(spark, blocks=15, tubes=True), full_taxonomy=True
+    )
+
+
 def _q_k_core_parts(spark, sf_dir):
     """80-core of the part co-purchase graph (5 peel rounds at sf0.01,
     1857-node core — a real cascade, hand-probed). Spark peels to
@@ -2777,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_alias_pairs": _q_kb_alias_pairs,
         "scc_fixture": _q_scc_fixture,
         "bowtie_fixture": _q_bowtie_fixture,
+        "bowtie_taxonomy": _q_bowtie_taxonomy,
         "event_sessions": _q_event_sessions,
         "ppr_hosts": _q_ppr_hosts,
         "mixture_weights": _q_mixture_weights,
@@ -3964,6 +3989,42 @@ def oracle_sql() -> dict[str, str]:
             FROM ok x JOIN ok y
               ON x.group_id = y.group_id AND x.kb_url = y.kb_url
              AND x.entity_uuid < y.entity_uuid
+        """,
+        "bowtie_taxonomy": f"""
+            WITH RECURSIVE {_BOWTIE_CTES_TUBES},
+            core1 AS (SELECT scc_id FROM scc GROUP BY scc_id
+                      ORDER BY count(*) DESC, scc_id DESC LIMIT 1),
+            coren AS (SELECT s.uuid FROM scc s, core1
+                      WHERE s.scc_id = core1.scc_id),
+            tocore AS (SELECT DISTINCT r.src AS uuid
+                       FROM reach r JOIN coren c ON r.dst = c.uuid),
+            fromcore AS (SELECT DISTINCT r.dst AS uuid
+                         FROM reach r JOIN coren c ON r.src = c.uuid),
+            base AS (
+              SELECT s.uuid,
+                     CASE WHEN s.scc_id = core1.scc_id THEN 'CORE'
+                          WHEN tc.uuid IS NOT NULL THEN 'IN'
+                          WHEN fc.uuid IS NOT NULL THEN 'OUT'
+                          ELSE 'OTHER' END AS component
+              FROM scc s CROSS JOIN core1
+              LEFT JOIN tocore tc ON s.uuid = tc.uuid
+              LEFT JOIN fromcore fc ON s.uuid = fc.uuid),
+            inn AS (SELECT uuid FROM base WHERE component = 'IN'),
+            outn AS (SELECT uuid FROM base WHERE component = 'OUT'),
+            fromin AS (SELECT DISTINCT r.dst AS uuid
+                       FROM reach r JOIN inn ON r.src = inn.uuid),
+            toout AS (SELECT DISTINCT r.src AS uuid
+                      FROM reach r JOIN outn ON r.dst = outn.uuid)
+            SELECT b.uuid,
+                   CASE WHEN b.component <> 'OTHER' THEN b.component
+                        WHEN fi.uuid IS NOT NULL AND t2.uuid IS NOT NULL
+                          THEN 'TUBE'
+                        WHEN fi.uuid IS NOT NULL THEN 'TENDRIL_IN'
+                        WHEN t2.uuid IS NOT NULL THEN 'TENDRIL_OUT'
+                        ELSE 'DISCONNECTED' END AS component
+            FROM base b
+            LEFT JOIN fromin fi ON b.uuid = fi.uuid
+            LEFT JOIN toout t2 ON b.uuid = t2.uuid
         """,
         "scc_fixture": f"""
             WITH RECURSIVE {_BOWTIE_CTES}

@@ -653,18 +653,28 @@ def bowtie_classification(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 256,
+    full_taxonomy: bool = False,
 ) -> DataFrame:
     """Broder et al. (2000) bow-tie decomposition of a directed graph ->
     (uuid, component): CORE = the largest SCC (ties broken by max scc_id),
     IN = reaches the core but is not in it, OUT = reachable from the core,
-    OTHER = tendrils / tubes / disconnected. The canonical macro-structure
-    analysis of a web crawl's host graph.
+    OTHER = everything else. The canonical macro-structure analysis of a
+    web crawl's host graph.
+
+    With ``full_taxonomy=True`` OTHER splits into the paper's remaining
+    classes (decided by forward reach from IN and backward reach from OUT;
+    anything reachable from the core is already OUT and anything reaching
+    it already IN, so these probes only refine the leftover set):
+      TUBE         reachable from IN AND reaches OUT (core bypass)
+      TENDRIL_IN   reachable from IN only (hangs off IN)
+      TENDRIL_OUT  reaches OUT only (points into OUT)
+      DISCONNECTED neither
 
     Shape: one SCC run (or a caller-provided assignment), one size agg,
-    then two frontier BFS loops (forward and backward from the core) —
-    each hop one equi-join + distinct + anti-join, lineage cut per hop.
-    A node both reaching and reached by the core is IN the core by
-    definition, so the three flags are mutually exclusive."""
+    then two (four with the full taxonomy) frontier BFS loops — each hop
+    one equi-join + distinct + anti-join, lineage cut per hop. A node
+    both reaching and reached by the core is IN the core by definition,
+    so CORE/IN/OUT are mutually exclusive."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -684,10 +694,10 @@ def bowtie_classification(
     core_id = top[0]["scc_id"]
     core = scc.filter(F.col("scc_id") == F.lit(core_id)).select("uuid")
 
-    def _reach(from_core: bool) -> DataFrame:
-        reached = core.localCheckpoint(eager=True)
+    def _reach(seeds: DataFrame, forward: bool) -> DataFrame:
+        reached = seeds.select("uuid").localCheckpoint(eager=True)
         frontier = reached
-        join_on, emit = ("src", "dst") if from_core else ("dst", "src")
+        join_on, emit = ("src", "dst") if forward else ("dst", "src")
         for _ in range(max_iters):
             nxt = (
                 e.join(frontier.withColumnRenamed("uuid", join_on), join_on)
@@ -702,11 +712,12 @@ def bowtie_classification(
             frontier = nxt
         return reached
 
-    from_core = _reach(True).withColumnRenamed("uuid", "u_f").select(
-        F.col("u_f").alias("uuid"), F.lit(True).alias("_from")
-    )
-    to_core = _reach(False).select("uuid", F.lit(True).alias("_to"))
-    return (
+    def _flag(df: DataFrame, name: str) -> DataFrame:
+        return df.select("uuid", F.lit(True).alias(name))
+
+    from_core = _flag(_reach(core, True), "_from")
+    to_core = _flag(_reach(core, False), "_to")
+    base = (
         scc.join(from_core, "uuid", "left")
         .join(to_core, "uuid", "left")
         .select(
@@ -715,6 +726,28 @@ def bowtie_classification(
             .when(F.col("_to").isNotNull(), F.lit("IN"))
             .when(F.col("_from").isNotNull(), F.lit("OUT"))
             .otherwise(F.lit("OTHER"))
+            .alias("component"),
+        )
+    )
+    if not full_taxonomy:
+        return base
+    base = base.localCheckpoint(eager=True)
+    in_set = base.filter(F.col("component") == "IN").select("uuid")
+    out_set = base.filter(F.col("component") == "OUT").select("uuid")
+    from_in = _flag(_reach(in_set, True), "_fi")
+    to_out = _flag(_reach(out_set, False), "_to2")
+    return (
+        base.join(from_in, "uuid", "left")
+        .join(to_out, "uuid", "left")
+        .select(
+            "uuid",
+            F.when(F.col("component") != "OTHER", F.col("component"))
+            .when(
+                F.col("_fi").isNotNull() & F.col("_to2").isNotNull(), F.lit("TUBE")
+            )
+            .when(F.col("_fi").isNotNull(), F.lit("TENDRIL_IN"))
+            .when(F.col("_to2").isNotNull(), F.lit("TENDRIL_OUT"))
+            .otherwise(F.lit("DISCONNECTED"))
             .alias("component"),
         )
     )

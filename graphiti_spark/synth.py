@@ -501,7 +501,9 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, replicate: int = 1) -
     )
 
 
-def bowtie_fixture_edges(spark: SparkSession, blocks: int = 15) -> DataFrame:
+def bowtie_fixture_edges(
+    spark: SparkSession, blocks: int = 15, tubes: bool = False
+) -> DataFrame:
     """Deterministic directed graph with a known bow-tie macro-structure
     (Broder 2000), scale-parameterized by ``blocks`` (B). Node ids are
     zero-padded strings so lexicographic max == numeric max:
@@ -518,10 +520,18 @@ def bowtie_fixture_edges(spark: SparkSession, blocks: int = 15) -> DataFrame:
 
     Expected classification: 4B CORE, 4B IN, 4B OUT, 3B OTHER; SCC count
     1 + 2B + 3B. Every edge is a pure column expression over spark.range —
-    the DuckDB twin restates the identical arithmetic."""
+    the DuckDB twin restates the identical arithmetic.
+
+    ``tubes=True`` adds the full-taxonomy families:
+      TUBE         [15B, 16B)  in-block node -> tube -> out-block node
+                               (core bypass)
+      TENDRIL_OUT  [16B, 17B)  one node per block pointing INTO OUT
+      DISCONNECTED [17B, ~18B) isolated directed pairs (even offsets)
+    -> with full_taxonomy classification: 4B/4B/4B CORE/IN/OUT,
+    3B TENDRIL_IN, B TUBE, B TENDRIL_OUT, and 2*ceil(B/2) DISCONNECTED."""
     B = blocks
     n = 15 * B
-    width = len(str(n))
+    width = len(str(18 * B if tubes else n))
 
     def u(c):
         return F.lpad(c.cast("string"), width, "0")
@@ -575,6 +585,32 @@ def bowtie_fixture_edges(spark: SparkSession, blocks: int = 15) -> DataFrame:
             u(F.lit(12 * B) + F.lit(3) * F.floor(j / 4).cast("long")).alias("dst"),
         )
     )
+    if tubes:
+        blk = r.filter(i < B)
+        fam.append(  # in-block -> tube node
+            blk.select(
+                u(F.lit(4 * B) + 4 * i + 2).alias("src"),
+                u(F.lit(15 * B) + i).alias("dst"),
+            )
+        )
+        fam.append(  # tube node -> out-block
+            blk.select(
+                u(F.lit(15 * B) + i).alias("src"),
+                u(F.lit(8 * B) + 4 * i + 2).alias("dst"),
+            )
+        )
+        fam.append(  # tendril-out: unreachable node pointing INTO OUT
+            blk.select(
+                u(F.lit(16 * B) + i).alias("src"),
+                u(F.lit(8 * B) + 4 * i + 3).alias("dst"),
+            )
+        )
+        fam.append(  # disconnected directed pairs
+            blk.filter(i % 2 == 0).select(
+                u(F.lit(17 * B) + i).alias("src"),
+                u(F.lit(17 * B) + i + 1).alias("dst"),
+            )
+        )
     out = fam[0]
     for f in fam[1:]:
         out = out.unionByName(f)

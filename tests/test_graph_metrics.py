@@ -389,3 +389,30 @@ def test_entity_cooccurrence_pmi_hand_computed(spark):
     # episode cap drops a boilerplate episode entirely
     capped = entity_cooccurrence_pmi(mentions, min_count=1, episode_cap=1)
     assert capped.count() == 0
+
+
+def test_bowtie_full_taxonomy_fixture_split(spark):
+    """tubes=True + full_taxonomy: the OTHER class splits exactly into
+    TENDRIL_IN (the IN-attached chains), TUBE (core bypass), TENDRIL_OUT
+    (points into OUT), DISCONNECTED (isolated pairs) at B=15."""
+    from graphiti_spark.analytics.graph_metrics import bowtie_classification
+    from graphiti_spark.synth import bowtie_fixture_edges
+
+    got = {
+        r["component"]: r["count"]
+        for r in bowtie_classification(
+            bowtie_fixture_edges(spark, blocks=15, tubes=True), full_taxonomy=True
+        )
+        .groupBy("component")
+        .count()
+        .collect()
+    }
+    assert got == {
+        "CORE": 60,
+        "IN": 60,
+        "OUT": 60,
+        "TENDRIL_IN": 45,
+        "TUBE": 15,
+        "TENDRIL_OUT": 15,
+        "DISCONNECTED": 16,
+    }
