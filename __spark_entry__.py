@@ -31,6 +31,13 @@ _ES = "'el','la','que','los','por'"
 _BM25_TERMS = ("spark", "join", "filter")
 
 # DuckDB twin of functions.hashing.md5_long for a token expression
+def _md5key_sql(tag: str) -> str:
+    """DuckDB twin of datapipe.kg_embed's per-slot sampling key:
+    md5_long(concat(concat_ws(US, head, relation, tail, neg_slot, salt), tag))."""
+    key = f"concat(concat_ws(chr(31), head, relation, tail, neg_slot, 'kgneg'), {tag})"
+    return f"cast(concat('0x', substr(md5({key}), 1, 15)) as bigint)"
+
+
 def _mh_sql(i: int) -> str:
     return (
         f"list_min(list_transform(tk, t -> "
@@ -2083,6 +2090,78 @@ def _q_entity_pmi(spark, sf_dir):
     )
 
 
+def _q_rdf_ntriples(spark, sf_dir):
+    """N-Triples export of the canonical graph (sinks/rdf.py): every edge
+    as an IRI statement + every node as an rdfs:label literal, map-only.
+    Oracle: identical concat/escape chain in SQL over the pinned kg_edges
+    / kg_nodes goldens (valid at the driver's sf0.01)."""
+    from graphiti_spark.sinks.rdf import edges_to_ntriples
+
+    out = _pipeline(spark, sf_dir)
+    return edges_to_ntriples(out["edges"], out["nodes"]).select(
+        "kind", "uuid", "line"
+    )
+
+
+def _q_kg_embed_examples(spark, sf_dir):
+    """TransE-style KG-embedding training examples (datapipe/kg_embed.py):
+    distinct positive triples + md5-deterministic filtered corrupted
+    negatives over the canonical edge list. Oracle: full SQL restatement —
+    row_number entity index (== the distributed prefix-sum by uuid-prefix
+    bucket), identical md5 side/index derivation, NOT-EXISTS filter —
+    over the pinned kg_edges golden (valid at the driver's sf0.01)."""
+    from graphiti_spark.datapipe.kg_embed import kg_embedding_examples
+
+    out = _pipeline(spark, sf_dir)
+    return kg_embedding_examples(out["edges"], n_negatives=2).select(
+        "head",
+        "relation",
+        "tail",
+        F.col("label").cast("long").alias("label"),
+        F.col("neg_slot").cast("long").alias("neg_slot"),
+    )
+
+
+def _q_kg_episode_lens(spark, sf_dir):
+    """Per-episode content length (uuid5 episode ids are not
+    SQL-expressible, so this tiny table is golden-pinned and feeds the
+    entity_salience oracle as an input, like kg_raw_mentions)."""
+    from graphiti_spark.operators.episodes import episodes_stage
+    from graphiti_spark.operators.extract_text import extract_text_stage
+    from graphiti_spark.synth import pages_from_documents
+
+    eps = episodes_stage(extract_text_stage(pages_from_documents(spark, sf_dir)))
+    return eps.select(
+        F.col("uuid").alias("episode_uuid"),
+        F.length("content").cast("long").alias("n_chars"),
+    )
+
+
+def _q_entity_salience(spark, sf_dir):
+    """Per-episode entity salience top-5 (operators/salience.py):
+    log-damped mention frequency + first-mention-position bonus, the
+    Dunietz & Gillick 2014 baseline features. Oracle: full SQL
+    restatement (agg, length join, score, per-episode window) over the
+    pinned kg_raw_mentions + kg_episode_lens goldens."""
+    from graphiti_spark.operators.episodes import episodes_stage
+    from graphiti_spark.operators.extract_text import extract_text_stage
+    from graphiti_spark.operators.ner import mentions_stage
+    from graphiti_spark.operators.salience import entity_salience
+    from graphiti_spark.synth import pages_from_documents
+
+    eps = episodes_stage(extract_text_stage(pages_from_documents(spark, sf_dir)))
+    m = mentions_stage(eps)
+    return entity_salience(m, eps, k=5).select(
+        "group_id",
+        "episode_uuid",
+        "entity_uuid",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+        "salience",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_robots_gate(spark, sf_dir):
     """robots.txt REP-subset application (datapipe/robots.py): 7 synthetic
     host policies (carve-out Allow under a Disallow, empty-Disallow group,
@@ -2797,6 +2876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred_parts": _q_link_pred_parts,
         "k_core_parts": _q_k_core_parts,
         "entity_pmi": _q_entity_pmi,
+        "rdf_ntriples": _q_rdf_ntriples,
+        "kg_embed_examples": _q_kg_embed_examples,
+        "kg_episode_lens": _q_kg_episode_lens,
+        "entity_salience": _q_entity_salience,
         "robots_gate": _q_robots_gate,
         "kb_alias_pairs": _q_kb_alias_pairs,
         "scc_fixture": _q_scc_fixture,
@@ -3049,6 +3132,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_message_edges",
             "kg_json_edges",
             "kg_pages",
+            "kg_episode_lens",
             # iterative BPE learning has no SQL twin (driver-loop top-1 per
             # round); semantic truth = hand-derived fixtures in test_bpe.py
             "bpe_merges",
@@ -3875,6 +3959,80 @@ def oracle_sql() -> dict[str, str]:
             JOIN marg ma ON pc.group_id = ma.group_id AND pc.ua = ma.entity_uuid
             JOIN marg mb ON pc.group_id = mb.group_id AND pc.ub = mb.entity_uuid
             JOIN n ON pc.group_id = n.group_id
+        """,
+        "rdf_ntriples": rf"""
+            WITH e AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/kg_edges.parquet')),
+            n AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/kg_nodes.parquet'))
+            SELECT 'rel' AS kind, uuid,
+              concat('<http://graph.example/entity/', source_node_uuid,
+                     '> <http://graph.example/rel/',
+                     regexp_replace(lower(name), '[^a-z0-9_]+', '_', 'g'),
+                     '> <http://graph.example/entity/', target_node_uuid,
+                     '> .') AS line
+            FROM e
+            UNION ALL
+            SELECT 'label' AS kind, uuid,
+              concat('<http://graph.example/entity/', uuid,
+                     '> <http://www.w3.org/2000/01/rdf-schema#label> "',
+                     replace(replace(replace(replace(name,
+                       '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
+                     '" .') AS line
+            FROM n
+        """,
+        "kg_embed_examples": f"""
+            WITH e AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/kg_edges.parquet')),
+            pos AS (SELECT DISTINCT source_node_uuid AS head, name AS relation,
+                           target_node_uuid AS tail FROM e),
+            ents AS (SELECT DISTINCT uuid FROM (
+                       SELECT source_node_uuid AS uuid FROM e
+                       UNION ALL SELECT target_node_uuid FROM e)),
+            idx AS (SELECT uuid, row_number() OVER (ORDER BY uuid) - 1 AS ent_idx
+                    FROM ents),
+            nv AS (SELECT count(*) AS n FROM ents),
+            slots AS (SELECT head, relation, tail, unnest([0, 1]) AS neg_slot
+                      FROM pos),
+            picked AS (SELECT s.*,
+                {_md5key_sql("':side'")} % 2 = 0 AS ct,
+                {_md5key_sql("':idx'")} % nv.n AS ent_idx
+              FROM slots s CROSS JOIN nv),
+            corrupted AS (SELECT
+                CASE WHEN ct THEN head ELSE i.uuid END AS head,
+                relation,
+                CASE WHEN ct THEN i.uuid ELSE tail END AS tail,
+                neg_slot
+              FROM picked p JOIN idx i USING (ent_idx)),
+            neg AS (SELECT * FROM corrupted c
+                    WHERE NOT EXISTS (SELECT 1 FROM pos p
+                      WHERE p.head = c.head AND p.relation = c.relation
+                        AND p.tail = c.tail))
+            SELECT head, relation, tail, CAST(1 AS BIGINT) AS label,
+                   CAST(-1 AS BIGINT) AS neg_slot FROM pos
+            UNION ALL
+            SELECT head, relation, tail, CAST(0 AS BIGINT) AS label,
+                   CAST(neg_slot AS BIGINT) AS neg_slot FROM neg
+        """,
+        "entity_salience": f"""
+            WITH m AS (SELECT * FROM
+                       read_parquet('{_GOLDEN_DIR}/kg_raw_mentions.parquet')),
+            el AS (SELECT * FROM
+                   read_parquet('{_GOLDEN_DIR}/kg_episode_lens.parquet')),
+            per AS (SELECT group_id, episode_uuid, entity_uuid,
+                           count(*) AS n_mentions, min(start_pos) AS first_pos
+                    FROM m GROUP BY group_id, episode_uuid, entity_uuid),
+            s AS (SELECT p.*,
+                    round(ln(1.0 + n_mentions)
+                          + (1.0 - least(CAST(first_pos AS DOUBLE)
+                                         / greatest(n_chars, 1), 1.0)),
+                          6) AS salience
+                  FROM per p JOIN el USING (episode_uuid)),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY group_id, episode_uuid
+                    ORDER BY salience DESC, entity_uuid) AS rnk FROM s)
+            SELECT group_id, episode_uuid, entity_uuid,
+                   CAST(n_mentions AS BIGINT) AS n_mentions,
+                   CAST(first_pos AS BIGINT) AS first_pos,
+                   salience, CAST(rnk AS BIGINT) AS "rank"
+            FROM r WHERE rnk <= 5
         """,
         "robots_gate": """
             WITH hosts AS (SELECT DISTINCT doc_id % 7 AS m FROM documents),

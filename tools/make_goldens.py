@@ -39,6 +39,7 @@ GOLDEN_QUERIES = [
     "kg_message_edges",
     "kg_json_edges",
     "kg_pages",
+    "kg_episode_lens",
     "bpe_merges",
     "bpe_segment_stats",
 ]
