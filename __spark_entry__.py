@@ -2162,6 +2162,84 @@ def _q_entity_salience(spark, sf_dir):
     )
 
 
+_QUOTE_SPEAKERS_A = ["Ana Bell", "Carl Dorn", "Jane Doe", "Bob Cole", "Ann Ray"]
+_QUOTE_SPEAKERS_B = [
+    "Mia Park", "Lee Chan", "Sam Hart", "Eva Lund", "Tom Reed", "Zoe Kim", "Max Vogel",
+]
+
+
+def _q_quote_attribution(spark, sf_dir):
+    """Quotation attribution (operators/quotes.py): both news-attribution
+    templates over a deterministic quote-bearing corpus synthesized from
+    the documents table (the robots_gate pattern — the real corpus has no
+    reported speech). Oracle: identical text construction in SQL + the
+    operator's own byte-identical RE2 patterns via quotes_sql()."""
+    from graphiti_spark.operators.quotes import extract_quotes
+
+    d = _t(spark, sf_dir, "documents")
+    m5 = F.col("doc_id") % 5
+    m7 = F.col("doc_id") % 7
+    name_a = F.lit(None).cast("string")
+    for i, n in enumerate(_QUOTE_SPEAKERS_A):
+        name_a = F.when(m5 == i, F.lit(n)).otherwise(name_a)
+    name_b = F.lit(None).cast("string")
+    for i, n in enumerate(_QUOTE_SPEAKERS_B):
+        name_b = F.when(m7 == i, F.lit(n)).otherwise(name_b)
+    text = F.concat(
+        F.lit('"'),
+        F.substring("text", 1, 50),
+        F.lit(' and so on," said '),
+        name_a,
+        F.lit(". "),
+        name_b,
+        F.lit(' wrote: "'),
+        F.substring("text", 30, 60),
+        F.lit(' extra tail words."'),
+    )
+    return extract_quotes(d.select("doc_id", text.alias("text"))).select(
+        "id", "speaker", "verb", "quote", "pattern"
+    )
+
+
+def _q_graph_walks(spark, sf_dir):
+    """DeepWalk-style deterministic random walks over the canonical entity
+    graph (analytics/walks.py): hash-min uniform neighbor selection, one
+    walk per node, 3 hops. Oracle: the identical unrolled join/min_by
+    chain in SQL over the pinned kg_edges golden."""
+    from graphiti_spark.analytics.walks import random_walks
+
+    out = _pipeline(spark, sf_dir)
+    return random_walks(out["edges"], walk_len=3, walks_per_node=1).select(
+        "walk_id", F.col("step").cast("long").alias("step"), "node"
+    )
+
+
+def _walks_sql(walk_len: int = 3) -> str:
+    """DuckDB twin of _q_graph_walks: unrolled hash-min steps."""
+    ctes = [
+        f"""adj AS (SELECT DISTINCT source_node_uuid AS src,
+                           target_node_uuid AS dst
+              FROM read_parquet('{_GOLDEN_DIR}/kg_edges.parquet')
+              WHERE source_node_uuid <> target_node_uuid)""",
+        "w0 AS (SELECT concat(src, '#0') AS walk_id, src AS node"
+        " FROM (SELECT DISTINCT src FROM adj))",
+    ]
+    for s in range(1, walk_len + 1):
+        key = (
+            f"cast(concat('0x', substr(md5(concat_ws(chr(31), walk_id, "
+            f"'walk:{s}', dst)), 1, 15)) as bigint)"
+        )
+        ctes.append(
+            f"w{s} AS (SELECT walk_id, min_by(dst, {key}) AS node "
+            f"FROM w{s - 1} w JOIN adj ON w.node = adj.src GROUP BY walk_id)"
+        )
+    legs = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node FROM w{s}"
+        for s in range(walk_len + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + legs
+
+
 def _q_robots_gate(spark, sf_dir):
     """robots.txt REP-subset application (datapipe/robots.py): 7 synthetic
     host policies (carve-out Allow under a Disallow, empty-Disallow group,
@@ -2880,6 +2958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_embed_examples": _q_kg_embed_examples,
         "kg_episode_lens": _q_kg_episode_lens,
         "entity_salience": _q_entity_salience,
+        "quote_attribution": _q_quote_attribution,
+        "graph_walks": _q_graph_walks,
         "robots_gate": _q_robots_gate,
         "kb_alias_pairs": _q_kb_alias_pairs,
         "scc_fixture": _q_scc_fixture,
@@ -3103,11 +3183,17 @@ def _jsonld_oracle_sql() -> str:
     """
 
 
+def _case_name_sql(mod_expr: str, names: list[str]) -> str:
+    whens = " ".join(f"WHEN {mod_expr} = {i} THEN '{n}'" for i, n in enumerate(names))
+    return f"CASE {whens} END"
+
+
 def oracle_sql() -> dict[str, str]:
     from graphiti_spark.functions.normalize import (
         normalize_entity_name_enhanced_sql,
         normalize_entity_name_sql,
     )
+    from graphiti_spark.operators.quotes import quotes_sql
 
     _ENHANCED_NORM_SQL = normalize_entity_name_enhanced_sql("p_name")
     # --- pinned golden oracles for the Python-UDF KG pipeline ---------------
@@ -4033,6 +4119,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(first_pos AS BIGINT) AS first_pos,
                    salience, CAST(rnk AS BIGINT) AS "rank"
             FROM r WHERE rnk <= 5
+        """,
+        "graph_walks": _walks_sql(3),
+        "quote_attribution": f"""
+            WITH synth AS (SELECT doc_id,
+                concat('"', substr(text, 1, 50), ' and so on," said ',
+                       {_case_name_sql('doc_id % 5', _QUOTE_SPEAKERS_A)}, '. ',
+                       {_case_name_sql('doc_id % 7', _QUOTE_SPEAKERS_B)},
+                       ' wrote: "', substr(text, 30, 60),
+                       ' extra tail words."') AS text
+              FROM documents)
+            {quotes_sql('synth')}
         """,
         "robots_gate": """
             WITH hosts AS (SELECT DISTINCT doc_id % 7 AS m FROM documents),
