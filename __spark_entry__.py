@@ -2240,6 +2240,64 @@ def _walks_sql(walk_len: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + legs
 
 
+def _q_k_truss_parts(spark, sf_dir):
+    """k-truss (k=4) of the part co-purchase graph by iterative support
+    peeling (graph_metrics.k_truss). Spark peels with the degree-ordered
+    O(m^1.5) wedge enumerator and stops at the fixpoint; the oracle
+    unrolls the same number of rounds with naive ordered-triple triangle
+    enumeration — independent algorithms, identical survivors + support."""
+    from graphiti_spark.analytics.graph_metrics import k_truss
+
+    out = k_truss(_coorder_part_graph(spark, sf_dir), k=4, max_iter=5)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("support").cast("long").alias("support"),
+    )
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """DuckDB twin of _q_k_truss_parts: unrolled peel rounds (no-ops past
+    the fixpoint, so any rounds >= Spark's max_iter gives identical output)."""
+
+    def sup(i: int) -> str:
+        return f"""
+            t{i} AS MATERIALIZED (SELECT x.a AS u, x.b AS v, y.b AS w
+                     FROM e{i} x JOIN e{i} y ON x.b = y.a
+                     JOIN e{i} z ON z.a = x.a AND z.b = y.b),
+            sup{i} AS MATERIALIZED (SELECT a, b, count(*) AS c FROM (
+                         SELECT u AS a, v AS b FROM t{i}
+                         UNION ALL SELECT u, w FROM t{i}
+                         UNION ALL SELECT v, w FROM t{i})
+                       GROUP BY a, b)"""
+
+    ctes = [
+        # MATERIALIZED: the unrolled rounds reference these many times; the
+        # default inlining re-opens the parquet per reference and trips the
+        # process fd limit.
+        """li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+               FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+               WHERE a.l_partkey < b.l_partkey)"""
+    ]
+    for i in range(rounds):
+        ctes.append(sup(i))
+        ctes.append(
+            f"""e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e
+                 LEFT JOIN sup{i} s ON e.a = s.a AND e.b = s.b
+                 WHERE coalesce(s.c, 0) >= {k - 2})"""
+        )
+    ctes.append(sup(rounds))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b,
+               CAST(coalesce(s.c, 0) AS BIGINT) AS support
+        FROM e{rounds} e LEFT JOIN sup{rounds} s ON e.a = s.a AND e.b = s.b"""
+    )
+
+
 def _q_robots_gate(spark, sf_dir):
     """robots.txt REP-subset application (datapipe/robots.py): 7 synthetic
     host policies (carve-out Allow under a Disallow, empty-Disallow group,
@@ -2960,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_salience": _q_entity_salience,
         "quote_attribution": _q_quote_attribution,
         "graph_walks": _q_graph_walks,
+        "k_truss_parts": _q_k_truss_parts,
         "robots_gate": _q_robots_gate,
         "kb_alias_pairs": _q_kb_alias_pairs,
         "scc_fixture": _q_scc_fixture,
@@ -4121,6 +4180,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rnk <= 5
         """,
         "graph_walks": _walks_sql(3),
+        "k_truss_parts": _ktruss_sql(4, 5),
         "quote_attribution": f"""
             WITH synth AS (SELECT doc_id,
                 concat('"', substr(text, 1, 50), ' and so on," said ',

@@ -101,11 +101,15 @@ def main() -> None:
     # inflate every subsequent query 2.5-5x (minhash_lsh_pairs 12.6 s with
     # the handles live vs 3.6-6.9 s after release, same session, quiet host).
     # Only the 2-column edge list survives — it is all degree/pagerank need.
-    edges = (
+    # 4-column edge slice: the graph-consumer rows (rdf export, kg-embed
+    # examples, walks) need uuid+name too; still a narrow frame.
+    edges_named = (
         out["edges"]
-        .select("source_node_uuid", "target_node_uuid")
+        .select("uuid", "source_node_uuid", "target_node_uuid", "name")
         .localCheckpoint(eager=True)
     )
+    nodes_slim = out["nodes"].select("uuid", "name").localCheckpoint(eager=True)
+    edges = edges_named.select("source_node_uuid", "target_node_uuid")
     # 3-column mention slice survives alongside the edge list (entity_pmi
     # needs only these; the wide frames are what pin the heap)
     mentions_slim = (
@@ -344,6 +348,36 @@ def main() -> None:
         "scc_bowtie",
         lambda: bowtie_classification(bowtie_fixture_edges(spark, blocks=400)).count(),
     )
+
+    # --- graph consumers over the canonical KG (round-4 additions) ---
+    from graphiti_spark.analytics.graph_metrics import k_truss
+    from graphiti_spark.analytics.walks import random_walks
+    from graphiti_spark.datapipe.kg_embed import kg_embedding_examples
+    from graphiti_spark.operators.quotes import extract_quotes
+    from graphiti_spark.sinks.rdf import edges_to_ntriples
+
+    timed("rdf_ntriples", lambda: edges_to_ntriples(edges_named, nodes_slim).count())
+    timed(
+        "kg_embed_examples",
+        lambda: kg_embedding_examples(edges_named, n_negatives=2).count(),
+    )
+    timed("graph_walks", lambda: random_walks(edges_named, walk_len=3).count())
+    # k-truss over the same co-purchase graph triangle_counts measures
+    timed("k_truss", lambda: k_truss(co, k=4, max_iter=5).count())
+    # quote attribution over a quote-bearing corpus built from the webtext
+    # pages (the raw corpus has no reported speech; the MATCH paths must
+    # fire for the row to measure real keep work, per VERDICT r3 #1)
+    quote_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('"'),
+            F.substring("text", 1, 80),
+            F.lit(' and so on," said Ana Bell. Tom Reed wrote: "'),
+            F.substring("text", 50, 90),
+            F.lit(' extra tail words."'),
+        ).alias("text"),
+    )
+    timed("quote_attribution", lambda: extract_quotes(quote_docs).count())
 
     # --- incremental ingest: a 10% delta batch against a 90% pre-built graph
     # (plans/incremental.py). The timed number is the DELTA cost — the
