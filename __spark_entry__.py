@@ -2298,6 +2298,51 @@ def _ktruss_sql(k: int, rounds: int) -> str:
     )
 
 
+def _q_entity_type_induction(spark, sf_dir):
+    """Entity type induction (operators/entity_types.py): plurality vote
+    over the JSON-LD @type harvest UNIONED with a deterministic
+    conflicting-tagger minority (doc_id%8==1 pages assert Organization
+    for their Person entity) so real vote contention and flips occur.
+    Oracle: shared jsonld harvest CTEs + full vote/window restatement."""
+    from graphiti_spark.operators.entity_types import induce_entity_types
+    from graphiti_spark.operators.structured_data import (
+        jsonld_blocks,
+        jsonld_entities,
+    )
+
+    ents = jsonld_entities(jsonld_blocks(_jsonld_pages(spark, sf_dir))).select(
+        "name", "etype"
+    )
+    d = _t(spark, sf_dir, "documents")
+    minority = d.filter(F.col("doc_id") % 8 == 1).select(
+        F.concat(F.lit("P"), (F.col("doc_id") % 97).cast("string")).alias("name"),
+        F.lit("Organization").alias("etype"),
+    )
+    out = induce_entity_types(ents.unionByName(minority))
+    return out.select(
+        "name_norm",
+        "etype",
+        F.col("votes").cast("long").alias("votes"),
+        F.col("total_votes").cast("long").alias("total_votes"),
+        "confidence",
+    )
+
+
+def _q_community_profiles(spark, sf_dir):
+    """Deterministic community profiles (community.community_profiles):
+    size, top-5 most-mentioned members, internal edge count, plurality
+    internal relation — the structured analogue of the reference's LLM
+    community summaries. Oracle: full SQL restatement over the pinned
+    kg_communities / kg_nodes / kg_edges goldens."""
+    from graphiti_spark.analytics.community import community_profiles
+
+    out = _pipeline(spark, sf_dir)
+    asg = _q_kg_communities(spark, sf_dir)
+    return community_profiles(
+        asg.select("community", "uuid"), out["nodes"], out["edges"]
+    )
+
+
 def _q_robots_gate(spark, sf_dir):
     """robots.txt REP-subset application (datapipe/robots.py): 7 synthetic
     host policies (carve-out Allow under a Disallow, empty-Disallow group,
@@ -3019,6 +3064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_attribution": _q_quote_attribution,
         "graph_walks": _q_graph_walks,
         "k_truss_parts": _q_k_truss_parts,
+        "entity_type_induction": _q_entity_type_induction,
+        "community_profiles": _q_community_profiles,
         "robots_gate": _q_robots_gate,
         "kb_alias_pairs": _q_kb_alias_pairs,
         "scc_fixture": _q_scc_fixture,
@@ -3172,16 +3219,15 @@ def _canon_norm_sql(inner: str, keep: str = "url") -> str:
     """
 
 
-def _jsonld_oracle_sql() -> str:
-    """Full restatement of jsonld_blocks -> jsonld_entities ->
-    jsonld_triples over the byte-identical SQL rebuild of _jsonld_pages:
-    the EXACT block regex (imported, quote-escaped), index-preserving
-    explode, json_valid-guarded subset parse, and the four triple shapes."""
+def _jsonld_ent_ctes() -> str:
+    """Shared CTE prefix: byte-identical SQL rebuild of _jsonld_pages ->
+    jsonld_blocks -> jsonld_entities (the EXACT block regex, imported and
+    quote-escaped; index-preserving explode; json_valid-guarded parse).
+    Ends with the `ent` relation = jsonld_entities output."""
     from graphiti_spark.operators.structured_data import _JSONLD_BLOCK_RE
 
     pat = _sqlpat(_JSONLD_BLOCK_RE)
-    return f"""
-      WITH p AS (
+    return f"""p AS (
         SELECT concat('https://jd.example.net/', CAST(doc_id AS VARCHAR)) AS url,
           concat('<html><head>',
             CASE doc_id % 4
@@ -3225,7 +3271,14 @@ def _jsonld_oracle_sql() -> str:
               CASE WHEN json_valid(j)
                    THEN json_extract_string(j, '$.worksFor.name') END AS works_for
              FROM pr),
-      ent AS (SELECT * FROM pe WHERE name IS NOT NULL AND name <> '')
+      ent AS (SELECT * FROM pe WHERE name IS NOT NULL AND name <> '')"""
+
+
+def _jsonld_oracle_sql() -> str:
+    """jsonld_triples oracle: the shared harvest prefix + the four triple
+    shapes."""
+    return f"""
+      WITH {_jsonld_ent_ctes()}
       SELECT url, block_idx, name AS subj, 'isA' AS pred, etype AS obj
       FROM ent WHERE etype IS NOT NULL AND etype <> ''
       UNION ALL
@@ -4181,6 +4234,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_walks": _walks_sql(3),
         "k_truss_parts": _ktruss_sql(4, 5),
+        "community_profiles": f"""
+            WITH asg AS (SELECT community, uuid
+                         FROM read_parquet('{_GOLDEN_DIR}/kg_communities.parquet')),
+            n AS (SELECT uuid, name, mention_count
+                  FROM read_parquet('{_GOLDEN_DIR}/kg_nodes.parquet')),
+            e AS (SELECT source_node_uuid, target_node_uuid, name
+                  FROM read_parquet('{_GOLDEN_DIR}/kg_edges.parquet')),
+            m AS (SELECT asg.community, n.uuid, n.name, n.mention_count
+                  FROM asg JOIN n USING (uuid)),
+            sizes AS (SELECT community, count(*) AS n_members
+                      FROM m GROUP BY community),
+            ranked AS (SELECT community, name, row_number() OVER (
+                         PARTITION BY community
+                         ORDER BY mention_count DESC, name, uuid) AS rnk
+                       FROM m),
+            top AS (SELECT community, string_agg(name, ', ' ORDER BY rnk)
+                      AS top_members
+                    FROM ranked WHERE rnk <= 5 GROUP BY community),
+            internal AS (SELECT ca.community, e.name
+                         FROM e JOIN asg ca ON e.source_node_uuid = ca.uuid
+                                JOIN asg cb ON e.target_node_uuid = cb.uuid
+                         WHERE ca.community = cb.community),
+            ni AS (SELECT community, count(*) AS n_internal_edges
+                   FROM internal GROUP BY community),
+            rv AS (SELECT community, name, count(*) AS v
+                   FROM internal GROUP BY community, name),
+            tr AS (SELECT community, name AS top_relation FROM (
+                     SELECT *, row_number() OVER (PARTITION BY community
+                       ORDER BY v DESC, name) AS rnk FROM rv)
+                   WHERE rnk = 1)
+            SELECT s.community, CAST(s.n_members AS BIGINT) AS n_members,
+                   t.top_members,
+                   CAST(coalesce(ni.n_internal_edges, 0) AS BIGINT)
+                     AS n_internal_edges,
+                   tr.top_relation
+            FROM sizes s JOIN top t USING (community)
+            LEFT JOIN ni USING (community) LEFT JOIN tr USING (community)
+        """,
+        "entity_type_induction": f"""
+            WITH {_jsonld_ent_ctes()},
+            minority AS (SELECT concat('P', CAST(doc_id % 97 AS VARCHAR)) AS name,
+                                'Organization' AS etype
+                         FROM documents WHERE doc_id % 8 = 1),
+            a AS (SELECT name, etype FROM ent
+                  UNION ALL SELECT name, etype FROM minority),
+            v AS (SELECT {normalize_entity_name_sql('name')} AS name_norm, etype
+                  FROM a WHERE etype IS NOT NULL AND etype <> ''),
+            vv AS (SELECT * FROM v WHERE name_norm <> ''),
+            votes AS (SELECT name_norm, etype, count(*) AS votes
+                      FROM vv GROUP BY name_norm, etype),
+            tot AS (SELECT name_norm, sum(votes) AS total_votes
+                    FROM votes GROUP BY name_norm),
+            r AS (SELECT votes.name_norm, votes.etype, votes.votes,
+                         tot.total_votes,
+                         row_number() OVER (PARTITION BY votes.name_norm
+                           ORDER BY votes.votes DESC, votes.etype ASC) AS rnk
+                  FROM votes JOIN tot USING (name_norm))
+            SELECT name_norm, etype, CAST(votes AS BIGINT) AS votes,
+                   CAST(total_votes AS BIGINT) AS total_votes,
+                   round(CAST(votes AS DOUBLE) / total_votes, 6) AS confidence
+            FROM r WHERE rnk = 1
+        """,
         "quote_attribution": f"""
             WITH synth AS (SELECT doc_id,
                 concat('"', substr(text, 1, 50), ' and so on," said ',

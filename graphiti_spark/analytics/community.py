@@ -203,3 +203,90 @@ def build_communities(
         edge_uuid_udf("source_node_uuid", "target_node_uuid", "name", F.lit("_community")),
     )
     return community_nodes, has_member
+
+
+def community_profiles(
+    assignments: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic per-community profile — the structured analogue of the
+    reference's LLM community summaries (build_community's pairwise
+    summarize + name generation, community_operations.py:126-170): instead
+    of prose, each community gets its size, its top-k most-mentioned member
+    names, its internal edge count, and its plurality internal relation:
+
+      (community, n_members, top_members, n_internal_edges, top_relation)
+
+    top_members = ", "-joined names ranked by (mention_count desc, name,
+    uuid); top_relation = plurality vote over intra-community edge names
+    (ties break lexicographically); communities with no internal edges get
+    0 / null. This is what a UI renders next to a community and what a
+    retrieval layer uses as a community descriptor without an LLM pass.
+
+    Scale shape: one member join + per-community top-k window (bounded by
+    community size), two broadcast-sized joins to tag edge endpoints with
+    communities (the assignment table is |V|-sized — hash join at KG
+    scale), one count agg and one plurality window over the distinct
+    relation names per community. Nothing global, nothing driver-side.
+    """
+    m = assignments.join(
+        nodes.select("uuid", "name", "mention_count"), "uuid"
+    )
+    sizes = m.groupBy("community").agg(F.count(F.lit(1)).alias("n_members"))
+    w = Window.partitionBy("community").orderBy(
+        F.desc("mention_count"), "name", "uuid"
+    )
+    top = (
+        m.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .groupBy("community")
+        .agg(
+            F.concat_ws(
+                ", ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_rnk", "name"))),
+                    lambda s: s["name"],
+                ),
+            ).alias("top_members")
+        )
+    )
+    ca = assignments.select(
+        F.col("uuid").alias("source_node_uuid"), F.col("community").alias("_ca")
+    )
+    cb = assignments.select(
+        F.col("uuid").alias("target_node_uuid"), F.col("community").alias("_cb")
+    )
+    internal = (
+        edges.select("source_node_uuid", "target_node_uuid", "name")
+        .join(ca, "source_node_uuid")
+        .join(cb, "target_node_uuid")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .select(F.col("_ca").alias("community"), "name")
+    )
+    n_int = internal.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_internal_edges")
+    )
+    rv = internal.groupBy("community", "name").agg(F.count(F.lit(1)).alias("_v"))
+    wr = Window.partitionBy("community").orderBy(F.desc("_v"), "name")
+    top_rel = (
+        rv.withColumn("_rnk", F.row_number().over(wr))
+        .filter(F.col("_rnk") == 1)
+        .select("community", F.col("name").alias("top_relation"))
+    )
+    return (
+        sizes.join(top, "community")
+        .join(n_int, "community", "left")
+        .join(top_rel, "community", "left")
+        .withColumn(
+            "n_internal_edges", F.coalesce("n_internal_edges", F.lit(0)).cast("long")
+        )
+        .select(
+            "community",
+            F.col("n_members").cast("long").alias("n_members"),
+            "top_members",
+            "n_internal_edges",
+            "top_relation",
+        )
+    )
