@@ -53,6 +53,7 @@ def pagerank(
     damping: float = DEFAULT_CONFIG.pagerank_damping,
     iterations: int = DEFAULT_CONFIG.pagerank_iterations,
     dangling_mode: str = "crossjoin",
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Power iteration (centrality_operations.py:58-156, algorithms.rs:12-57):
     rank = (1-d)/n + d * (sum of in-contributions + dangling_mass/n).
@@ -104,7 +105,31 @@ def pagerank(
     ).withColumn("_dangling_node", F.col("_has_out").isNull()).drop("_has_out").localCheckpoint(
         eager=True
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if init_ranks is None:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    else:
+        # Warm start (incremental tier): power iteration converges to the
+        # same fixpoint from ANY probability vector, but starting from the
+        # previous snapshot's ranks after a small graph delta cuts the
+        # distance-to-fixpoint by orders of magnitude — the standard
+        # incremental-PageRank recipe (Langville & Meyer 2006 ch.10 restart;
+        # measured in test_pagerank_warmstart: warm-from-fixpoint moves less
+        # in 2 iterations than cold moves in 10). Nodes new since the
+        # snapshot start at 1/n; the vector renormalizes to sum 1 over the
+        # CURRENT node set via the same broadcast 1-row-aggregate pattern as
+        # the dangling mass (no driver barrier).
+        rank_col = "pagerank" if "pagerank" in init_ranks.columns else "rank"
+        ir = init_ranks.select("uuid", F.col(rank_col).alias("_init"))
+        seeded = nodes.join(ir, "uuid", "left").withColumn(
+            "_init", F.coalesce("_init", F.lit(1.0 / n))
+        )
+        tot = seeded.agg(F.sum("_init").alias("_tot"))
+        ranks = (
+            seeded.crossJoin(F.broadcast(tot))
+            .withColumn("rank", F.col("_init") / F.col("_tot"))
+            .drop("_init", "_tot")
+            .localCheckpoint(eager=True)
+        )
     base = (1.0 - damping) / n
     for _ in range(iterations):
         contribs = (
