@@ -2343,6 +2343,29 @@ def _q_community_profiles(spark, sf_dir):
     )
 
 
+def _q_frontier_unseen(spark, sf_dir):
+    """Bloom-prefiltered crawl-frontier dedup (datapipe/frontier.py):
+    candidates minus the crawled set, executed as broadcast hashed-bit-set
+    prefilter + exact anti-join on the maybe-seen sliver. The Bloom stage
+    is probabilistic but has no false negatives, so the OUTPUT is exactly
+    the anti-join — hence a plain NOT-EXISTS oracle."""
+    from graphiti_spark.datapipe.frontier import bloom_unseen
+
+    d = _t(spark, sf_dir, "documents")
+    crawled = d.filter(F.col("doc_id") % 3 != 0).select(
+        F.concat(F.lit("https://ex.com/p"), F.col("doc_id").cast("string")).alias(
+            "url"
+        )
+    )
+    candidates = d.select(
+        F.concat(
+            F.lit("https://ex.com/p"), (F.col("doc_id") % 700).cast("string")
+        ).alias("url"),
+        F.col("doc_id").cast("long").alias("depth"),
+    )
+    return bloom_unseen(candidates, crawled)
+
+
 def _q_robots_gate(spark, sf_dir):
     """robots.txt REP-subset application (datapipe/robots.py): 7 synthetic
     host policies (carve-out Allow under a Disallow, empty-Disallow group,
@@ -3066,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss_parts": _q_k_truss_parts,
         "entity_type_induction": _q_entity_type_induction,
         "community_profiles": _q_community_profiles,
+        "frontier_unseen": _q_frontier_unseen,
         "robots_gate": _q_robots_gate,
         "kb_alias_pairs": _q_kb_alias_pairs,
         "scc_fixture": _q_scc_fixture,
@@ -4234,6 +4258,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_walks": _walks_sql(3),
         "k_truss_parts": _ktruss_sql(4, 5),
+        "frontier_unseen": """
+            WITH crawled AS (SELECT concat('https://ex.com/p',
+                               CAST(doc_id AS VARCHAR)) AS url
+                             FROM documents WHERE doc_id % 3 <> 0),
+            cand AS (SELECT concat('https://ex.com/p',
+                       CAST(doc_id % 700 AS VARCHAR)) AS url,
+                       CAST(doc_id AS BIGINT) AS depth
+                     FROM documents)
+            SELECT url, depth FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM crawled w WHERE w.url = c.url)
+        """,
         "community_profiles": f"""
             WITH asg AS (SELECT community, uuid
                          FROM read_parquet('{_GOLDEN_DIR}/kg_communities.parquet')),
