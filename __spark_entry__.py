@@ -2201,6 +2201,99 @@ def _q_quote_attribution(spark, sf_dir):
     )
 
 
+_HEARST_CLASSES_A = ["companies", "languages", "cities", "startups", "frameworks"]
+_HEARST_CLASSES_B = ["agencies", "platforms", "vendors"]
+_HEARST_NAMES_C = ["Acme Corp", "Bex Labs", "Corda", "Lyon", "Porto", "Basque", "Tass"]
+
+
+def _hearst_synth_cols():
+    """Deterministic Hearst-bearing page text from the documents table
+    (the quote_attribution pattern — real corpus text has no taxonomic
+    templates). Returns the Spark text column; _hearst_synth_sql is the
+    byte-identical DuckDB build."""
+    m5, m7, m3, m2 = (F.col("doc_id") % n for n in (5, 7, 3, 2))
+
+    def _case(mod, names):
+        c = F.lit(None).cast("string")
+        for i, n in enumerate(names):
+            c = F.when(mod == i, F.lit(n)).otherwise(c)
+        return c
+
+    return F.concat(
+        _case(m5, _HEARST_CLASSES_A),
+        F.lit(" such as "),
+        _case(m7, _HEARST_NAMES_C),
+        F.lit(", "),
+        _case((F.col("doc_id") + 2) % 7, _HEARST_NAMES_C),
+        F.lit(" and "),
+        _case((F.col("doc_id") + 4) % 7, _HEARST_NAMES_C),
+        F.lit(". "),
+        _case((F.col("doc_id") + 1) % 7, _HEARST_NAMES_C),
+        F.lit(" and other "),
+        _case(m3, _HEARST_CLASSES_B),
+        F.lit(". Several "),
+        _case(m5, _HEARST_CLASSES_A),
+        F.lit(", "),
+        F.when(m2 == 0, F.lit("including ")).otherwise(F.lit("especially ")),
+        _case((F.col("doc_id") + 3) % 7, _HEARST_NAMES_C),
+        F.lit(", matter."),
+    )
+
+
+def _hearst_synth_sql() -> str:
+    def _c(mod_expr, names):
+        return _case_name_sql(mod_expr, names)
+
+    return f"""
+        SELECT doc_id,
+          concat({_c('doc_id % 5', _HEARST_CLASSES_A)}, ' such as ',
+                 {_c('doc_id % 7', _HEARST_NAMES_C)}, ', ',
+                 {_c('(doc_id + 2) % 7', _HEARST_NAMES_C)}, ' and ',
+                 {_c('(doc_id + 4) % 7', _HEARST_NAMES_C)}, '. ',
+                 {_c('(doc_id + 1) % 7', _HEARST_NAMES_C)}, ' and other ',
+                 {_c('doc_id % 3', _HEARST_CLASSES_B)}, '. Several ',
+                 {_c('doc_id % 5', _HEARST_CLASSES_A)}, ', ',
+                 CASE WHEN doc_id % 2 = 0 THEN 'including ' ELSE 'especially ' END,
+                 {_c('(doc_id + 3) % 7', _HEARST_NAMES_C)}, ', matter.') AS text
+        FROM documents"""
+
+
+def _q_hearst_hypernyms(spark, sf_dir):
+    """Hearst-pattern hypernym harvest (operators/hearst.py): all four
+    templates over a deterministic taxonomic corpus synthesized from the
+    documents table. Oracle: identical text construction in SQL + the
+    operator's own byte-identical RE2 patterns via hearst_sql()."""
+    from graphiti_spark.operators.hearst import extract_hypernyms
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_hypernyms(
+        d.select("doc_id", _hearst_synth_cols().alias("text"))
+    ).select("id", "hyponym", "hypernym", "pattern")
+
+
+def _q_hearst_isa_edges(spark, sf_dir):
+    """IS_A candidate-edge aggregation over the Hearst harvest
+    (hypernym_edges): one hash agg keyed on the (hyponym, hypernym)
+    pair — hot classes collapse map-side. Oracle: full aggregate
+    restatement over the same synthesized corpus."""
+    from graphiti_spark.operators.hearst import (
+        extract_hypernyms,
+        hypernym_edges,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = extract_hypernyms(
+        d.select("doc_id", _hearst_synth_cols().alias("text"))
+    )
+    return hypernym_edges(pairs).select(
+        "hyponym",
+        "hypernym",
+        "n_pages",
+        "n_assertions",
+        F.array_join("patterns", ",").alias("patterns"),
+    )
+
+
 def _q_graph_walks(spark, sf_dir):
     """DeepWalk-style deterministic random walks over the canonical entity
     graph (analytics/walks.py): hash-min uniform neighbor selection, one
@@ -3085,6 +3178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_episode_lens": _q_kg_episode_lens,
         "entity_salience": _q_entity_salience,
         "quote_attribution": _q_quote_attribution,
+        "hearst_hypernyms": _q_hearst_hypernyms,
+        "hearst_isa_edges": _q_hearst_isa_edges,
         "graph_walks": _q_graph_walks,
         "k_truss_parts": _q_k_truss_parts,
         "entity_type_induction": _q_entity_type_induction,
@@ -3329,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         normalize_entity_name_enhanced_sql,
         normalize_entity_name_sql,
     )
+    from graphiti_spark.operators.hearst import hearst_sql
     from graphiti_spark.operators.quotes import quotes_sql
 
     _ENHANCED_NORM_SQL = normalize_entity_name_enhanced_sql("p_name")
@@ -4340,6 +4436,19 @@ def oracle_sql() -> dict[str, str]:
                        ' extra tail words."') AS text
               FROM documents)
             {quotes_sql('synth')}
+        """,
+        "hearst_hypernyms": f"""
+            WITH synth AS ({_hearst_synth_sql()})
+            {hearst_sql('synth')}
+        """,
+        "hearst_isa_edges": f"""
+            WITH synth AS ({_hearst_synth_sql()}),
+            pairs AS ({hearst_sql('synth')})
+            SELECT hyponym, hypernym,
+                   count(DISTINCT id) AS n_pages,
+                   count(*) AS n_assertions,
+                   array_to_string(list_sort(list(DISTINCT pattern)), ',') AS patterns
+            FROM pairs GROUP BY hyponym, hypernym
         """,
         "robots_gate": """
             WITH hosts AS (SELECT DISTINCT doc_id % 7 AS m FROM documents),
