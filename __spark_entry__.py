@@ -2103,6 +2103,20 @@ def _q_rdf_ntriples(spark, sf_dir):
     )
 
 
+def _q_neo4j_csv_rows(spark, sf_dir):
+    """Neo4j neo4j-admin bulk-import CSV export of the canonical graph
+    (sinks/neo4j_csv.py): RFC-4180 quoted node + relationship lines, the
+    reference's own store as a bulk target. Oracle: identical quote /
+    type-normalization chain in SQL over the pinned kg_nodes / kg_edges
+    goldens (valid at the driver's sf0.01)."""
+    from graphiti_spark.sinks.neo4j_csv import graph_to_neo4j_csv
+
+    out = _pipeline(spark, sf_dir)
+    return graph_to_neo4j_csv(out["nodes"], out["edges"]).select(
+        "kind", "uuid", "line"
+    )
+
+
 def _q_kg_embed_examples(spark, sf_dir):
     """TransE-style KG-embedding training examples (datapipe/kg_embed.py):
     distinct positive triples + md5-deterministic filtered corrupted
@@ -3174,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_parts": _q_k_core_parts,
         "entity_pmi": _q_entity_pmi,
         "rdf_ntriples": _q_rdf_ntriples,
+        "neo4j_csv_rows": _q_neo4j_csv_rows,
         "kg_embed_examples": _q_kg_embed_examples,
         "kg_episode_lens": _q_kg_episode_lens,
         "entity_salience": _q_entity_salience,
@@ -3426,6 +3441,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from graphiti_spark.operators.hearst import hearst_sql
     from graphiti_spark.operators.quotes import quotes_sql
+    from graphiti_spark.sinks.neo4j_csv import neo4j_csv_sql
 
     _ENHANCED_NORM_SQL = normalize_entity_name_enhanced_sql("p_name")
     # --- pinned golden oracles for the Python-UDF KG pipeline ---------------
@@ -4296,6 +4312,11 @@ def oracle_sql() -> dict[str, str]:
                        '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
                      '" .') AS line
             FROM n
+        """,
+        "neo4j_csv_rows": f"""
+            WITH n AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/kg_nodes.parquet')),
+            e AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/kg_edges.parquet'))
+            {neo4j_csv_sql('n', 'e')}
         """,
         "kg_embed_examples": f"""
             WITH e AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/kg_edges.parquet')),
