@@ -781,6 +781,58 @@ def _q_graph_at_snapshot(spark, sf_dir):
     return out.select("event_id")
 
 
+def _q_snapshot_churn(spark, sf_dir):
+    """Edge churn between two bi-temporal snapshots (operators/temporal.
+    snapshot_churn): per relation, facts added / removed / retained
+    between 2024-01-15 and 2024-06-15 over the contradiction-invalidated
+    events timeline. Oracle: full SQL restatement (same lead() window +
+    both point-in-time predicates + keyed aggregate)."""
+    from graphiti_spark.operators.temporal import (
+        invalidate_contradictions,
+        snapshot_churn,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.lit("g").alias("group_id"),
+        F.col("user_id").cast("string").alias("source_node_uuid"),
+        F.col("event_type").alias("name"),
+        F.col("event_id").cast("string").alias("target_node_uuid"),
+        F.col("ts").alias("valid_at"),
+        F.lit(None).cast("timestamp").alias("invalid_at"),
+        "event_id",
+    )
+    out = snapshot_churn(
+        invalidate_contradictions(edges),
+        "2024-01-15 00:00:00",
+        "2024-06-15 00:00:00",
+        rel_col="name",
+        key_col="event_id",
+    )
+    return out.select(
+        "rel",
+        F.col("n_from").cast("long").alias("n_from"),
+        F.col("n_to").cast("long").alias("n_to"),
+        F.col("added").cast("long").alias("added"),
+        F.col("removed").cast("long").alias("removed"),
+        F.col("retained").cast("long").alias("retained"),
+    )
+
+
+def _q_degree_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the supplier-part graph
+    (analytics/graph_metrics.degree_assortativity): one-row Pearson
+    correlation of edge-endpoint degrees. Oracle: the identical
+    symmetrized-sums formula in SQL."""
+    from graphiti_spark.analytics.graph_metrics import degree_assortativity
+
+    return degree_assortativity(
+        _lineitem_graph(spark, sf_dir),
+        src_col="source_node_uuid",
+        dst_col="target_node_uuid",
+    )
+
+
 def _q_merge_props_agg(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id", "event_type").agg(
@@ -3189,6 +3241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pmi": _q_entity_pmi,
         "rdf_ntriples": _q_rdf_ntriples,
         "neo4j_csv_rows": _q_neo4j_csv_rows,
+        "snapshot_churn": _q_snapshot_churn,
+        "degree_assortativity": _q_degree_assortativity,
         "kg_embed_examples": _q_kg_embed_examples,
         "kg_episode_lens": _q_kg_episode_lens,
         "entity_salience": _q_entity_salience,
@@ -3562,6 +3616,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id FROM inv
             WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
               AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-01-15 00:00:00')
+        """,
+        "snapshot_churn": """
+            WITH e AS (
+              SELECT event_id, event_type, ts,
+                     lead(ts) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, CAST(event_id AS VARCHAR)) AS nxt
+              FROM events),
+            inv AS (SELECT event_type AS rel, ts,
+                           CASE WHEN nxt IS NOT NULL AND nxt > ts THEN nxt END AS invalid_at
+                    FROM e),
+            fl AS (SELECT rel,
+                     (ts <= TIMESTAMP '2024-01-15 00:00:00'
+                      AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-01-15 00:00:00')) AS in_a,
+                     (ts <= TIMESTAMP '2024-06-15 00:00:00'
+                      AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-06-15 00:00:00')) AS in_b
+                   FROM inv)
+            SELECT rel,
+                   CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_from,
+                   CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_to,
+                   CAST(sum(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS added,
+                   CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+                   CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS retained
+            FROM fl WHERE in_a OR in_b GROUP BY rel
+        """,
+        "degree_assortativity": """
+            WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS t FROM lineitem),
+            ue AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                   FROM e0 WHERE s <> t),
+            deg AS (SELECT z, count(*) AS deg FROM (
+                      SELECT a AS z FROM ue UNION ALL SELECT b FROM ue)
+                    GROUP BY z),
+            orient AS (SELECT a AS x, b AS y FROM ue
+                       UNION ALL SELECT b, a FROM ue),
+            j AS (SELECT dx.deg AS jd, dy.deg AS kd
+                  FROM orient o
+                  JOIN deg dx ON o.x = dx.z
+                  JOIN deg dy ON o.y = dy.z),
+            s AS (SELECT count(*) AS m2, sum(jd * kd) AS sjk,
+                         sum(jd) AS sj, sum(jd * jd) AS sjj
+                  FROM j)
+            SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+                   round(CASE WHEN (sjj / m2 - (sj / m2) * (sj / m2)) <> 0
+                              THEN (sjk / m2 - (sj / m2) * (sj / m2))
+                                   / (sjj / m2 - (sj / m2) * (sj / m2))
+                         END, 6) AS assortativity
+            FROM s
         """,
         "merge_props_agg": """
             SELECT user_id, event_type,

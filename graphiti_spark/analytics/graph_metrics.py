@@ -927,3 +927,61 @@ def k_truss(
             break
         cur, n = kept, m
     return _edge_support(cur).select("a", "b", "support")
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Newman (2002) degree assortativity coefficient of the undirected
+    graph: the Pearson correlation of the degrees at the two ends of an
+    edge. Positive r = hubs link to hubs (social-network shape); negative
+    r = hubs link to leaves (the typical web/host-graph shape) — the
+    one-number summary used to sanity-check a harvested entity graph
+    against its expected topology.
+
+    Full degrees are used (Pearson r is shift-invariant, so Newman's
+    "remaining degree" j = deg-1 yields the identical coefficient); each
+    undirected edge contributes both orientations to the sums, the
+    standard symmetrization. Degenerate inputs (no edges, or a
+    degree-regular graph with zero variance) return r = NULL rather than
+    dividing by zero.
+
+    Scale shape: one distinct (edge canonicalization), one degree agg,
+    two hash joins of the edge list against the degree table (shuffles on
+    node id — the same key both sides, so AQE plans them back-to-back
+    without a re-shuffle), then a single algebraic aggregate to one row.
+    Nothing is collected; no window functions.
+    """
+    ue = undirected_edges(edges, src_col, dst_col)
+    deg = (
+        ue.select(F.col("a").alias("z"))
+        .unionAll(ue.select(F.col("b").alias("z")))
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    both = (
+        ue.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionAll(ue.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .join(deg.withColumnRenamed("z", "x").withColumnRenamed("deg", "jd"), "x")
+        .join(deg.withColumnRenamed("z", "y").withColumnRenamed("deg", "kd"), "y")
+    )
+    s = both.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("jd") * F.col("kd")).alias("sjk"),
+        F.sum(F.col("jd")).alias("sj"),
+        F.sum(F.col("jd") * F.col("jd")).alias("sjj"),
+    )
+    # r = (sjk/m2 - (sj/m2)^2) / (sjj/m2 - (sj/m2)^2); by symmetry the
+    # j- and k-marginals are identical, so only one pair of sums is kept.
+    mean = F.col("sj") / F.col("m2")
+    num = F.col("sjk") / F.col("m2") - mean * mean
+    den = F.col("sjj") / F.col("m2") - mean * mean
+    return s.withColumn("num0", num).withColumn("den0", den).select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.when(F.col("den0") != 0, F.col("num0") / F.col("den0")), round_dp
+        ).alias("assortativity"),
+    )

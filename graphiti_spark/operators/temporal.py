@@ -76,3 +76,46 @@ def graph_at(
         if "expired_at" in cols:
             out = out.filter(F.col("expired_at").isNull() | (F.col("expired_at") > tt))
     return out
+
+
+def snapshot_churn(
+    edges: DataFrame,
+    t_from: str,
+    t_to: str,
+    rel_col: str = "name",
+    key_col: str = "uuid",
+) -> DataFrame:
+    """Edge churn between two bi-temporal snapshots: per relation, how
+    many facts were added, removed (invalidated), and retained between
+    `graph_at(t_from)` and `graph_at(t_to)` — the monitoring view over an
+    incrementally-ingested graph ("what changed in the KG this week"),
+    the batch analogue of diffing the reference's live store between two
+    points on its valid-time axis (edges.py valid_at/invalid_at).
+
+    Returns (rel, n_from, n_to, added, removed, retained), where
+    n_from = retained + removed and n_to = retained + added.
+
+    Scale shape: two pushed-down point-in-time predicates over the same
+    scan, one full-outer hash join on the fact key, one keyed agg. The
+    join key is the edge uuid — uniformly distributed by construction, so
+    no skew; at 10^12-document scale both slices prune to the partitions
+    whose [min(valid_at), max(invalid_at)] straddle the timestamps.
+    """
+    a = graph_at(edges, t_from).select(
+        F.col(key_col).alias("k"), F.col(rel_col).alias("rel_a")
+    )
+    b = graph_at(edges, t_to).select(
+        F.col(key_col).alias("k"), F.col(rel_col).alias("rel_b")
+    )
+    j = a.join(b, "k", "full_outer").select(
+        F.coalesce("rel_a", "rel_b").alias("rel"),
+        F.col("rel_a").isNotNull().alias("in_a"),
+        F.col("rel_b").isNotNull().alias("in_b"),
+    )
+    return j.groupBy("rel").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_from"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).alias("n_to"),
+        F.sum(F.when(F.col("in_b") & ~F.col("in_a"), 1).otherwise(0)).alias("added"),
+        F.sum(F.when(F.col("in_a") & ~F.col("in_b"), 1).otherwise(0)).alias("removed"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)).alias("retained"),
+    )
