@@ -2360,6 +2360,37 @@ def _q_hearst_isa_edges(spark, sf_dir):
     )
 
 
+def _q_coref_pronouns(spark, sf_dir):
+    """Deterministic pronoun coreference (operators/coref.py): nearest-
+    preceding-name resolution with exact char offsets over a pronoun-
+    bearing corpus synthesized from the documents table (the
+    quote_attribution pattern). Oracle: identical text construction in
+    SQL + the operator's full window/prefix-sum restatement via
+    coref_sql()."""
+    from graphiti_spark.operators.coref import resolve_pronouns
+
+    d = _t(spark, sf_dir, "documents")
+    m5, m7 = F.col("doc_id") % 5, F.col("doc_id") % 7
+
+    def _case(mod, names):
+        c = F.lit(None).cast("string")
+        for i, n in enumerate(names):
+            c = F.when(mod == i, F.lit(n)).otherwise(c)
+        return c
+
+    text = F.concat(
+        _case(m5, _QUOTE_SPEAKERS_A),
+        F.lit(" joined "),
+        _case(m7, _HEARST_NAMES_C),
+        F.lit(" last year. She later led it. Then "),
+        _case((F.col("doc_id") + 3) % 5, _QUOTE_SPEAKERS_A),
+        F.lit(" met her and they shipped products."),
+    )
+    return resolve_pronouns(d.select("doc_id", text.alias("text"))).select(
+        "id", "pronoun", F.col("pos").cast("long").alias("pos"), "antecedent"
+    )
+
+
 def _q_graph_walks(spark, sf_dir):
     """DeepWalk-style deterministic random walks over the canonical entity
     graph (analytics/walks.py): hash-min uniform neighbor selection, one
@@ -3247,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_episode_lens": _q_kg_episode_lens,
         "entity_salience": _q_entity_salience,
         "quote_attribution": _q_quote_attribution,
+        "coref_pronouns": _q_coref_pronouns,
         "hearst_hypernyms": _q_hearst_hypernyms,
         "hearst_isa_edges": _q_hearst_isa_edges,
         "graph_walks": _q_graph_walks,
@@ -3493,6 +3525,7 @@ def oracle_sql() -> dict[str, str]:
         normalize_entity_name_enhanced_sql,
         normalize_entity_name_sql,
     )
+    from graphiti_spark.operators.coref import coref_sql
     from graphiti_spark.operators.hearst import hearst_sql
     from graphiti_spark.operators.quotes import quotes_sql
     from graphiti_spark.sinks.neo4j_csv import neo4j_csv_sql
@@ -4558,6 +4591,15 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             {quotes_sql('synth')}
         """,
+        "coref_pronouns": coref_sql(
+            f"""(SELECT doc_id,
+                concat({_case_name_sql('doc_id % 5', _QUOTE_SPEAKERS_A)}, ' joined ',
+                       {_case_name_sql('doc_id % 7', _HEARST_NAMES_C)},
+                       ' last year. She later led it. Then ',
+                       {_case_name_sql('(doc_id + 3) % 5', _QUOTE_SPEAKERS_A)},
+                       ' met her and they shipped products.') AS text
+              FROM documents)"""
+        ),
         "hearst_hypernyms": f"""
             WITH synth AS ({_hearst_synth_sql()})
             {hearst_sql('synth')}
