@@ -833,6 +833,36 @@ def _q_degree_assortativity(spark, sf_dir):
     )
 
 
+def _q_cms_sketch(spark, sf_dir):
+    """Count-Min sketch build over the lineitem supplier-key stream
+    (datapipe/sketches.cms_build): depth x width counter table, md5-
+    derived rows, map-side combine absorbs hot keys. Oracle: identical
+    hash/mod/sum restatement via cms_build_sql."""
+    from graphiti_spark.datapipe.sketches import cms_build
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cms_build(li, "l_suppkey", depth=4, width=256).select(
+        F.col("row").cast("long").alias("row"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Two-phase heavy hitters (datapipe/sketches.cms_heavy_hitters):
+    CMS-estimate every supplier key, keep est >= 400, exact-recount only
+    the selected candidates. Oracle: full restatement via
+    cms_heavy_hitters_sql."""
+    from graphiti_spark.datapipe.sketches import cms_heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cms_heavy_hitters(li, "l_suppkey", threshold=400, depth=4, width=256).select(
+        "key",
+        F.col("est").cast("long").alias("est"),
+        F.col("exact").cast("long").alias("exact"),
+    )
+
+
 def _q_merge_props_agg(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id", "event_type").agg(
@@ -3274,6 +3304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neo4j_csv_rows": _q_neo4j_csv_rows,
         "snapshot_churn": _q_snapshot_churn,
         "degree_assortativity": _q_degree_assortativity,
+        "cms_sketch": _q_cms_sketch,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "kg_embed_examples": _q_kg_embed_examples,
         "kg_episode_lens": _q_kg_episode_lens,
         "entity_salience": _q_entity_salience,
@@ -3525,6 +3557,7 @@ def oracle_sql() -> dict[str, str]:
         normalize_entity_name_enhanced_sql,
         normalize_entity_name_sql,
     )
+    from graphiti_spark.datapipe.sketches import cms_build_sql, cms_heavy_hitters_sql
     from graphiti_spark.operators.coref import coref_sql
     from graphiti_spark.operators.hearst import hearst_sql
     from graphiti_spark.operators.quotes import quotes_sql
@@ -3673,6 +3706,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS retained
             FROM fl WHERE in_a OR in_b GROUP BY rel
         """,
+        "cms_sketch": cms_build_sql("lineitem", "l_suppkey", 4, 256),
+        "cms_heavy_hitters": cms_heavy_hitters_sql(
+            "lineitem", "l_suppkey", 400, 4, 256
+        ),
         "degree_assortativity": """
             WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS t FROM lineitem),
             ue AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
