@@ -833,6 +833,25 @@ def _q_degree_assortativity(spark, sf_dir):
     )
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Broder containment near-dup pairs (datapipe/dedup.
+    containment_pairs): asymmetric |A∩B|/|A| over bigram shingles with
+    shared-shingle blocking — catches subset documents Jaccard misses.
+    Oracle: the ngram-pairs CTE chain rescored with both directional
+    containments."""
+    from graphiti_spark.datapipe.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = containment_pairs(d, threshold=0.8)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
+        F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def _q_cms_sketch(spark, sf_dir):
     """Count-Min sketch build over the lineitem supplier-key stream
     (datapipe/sketches.cms_build): depth x width counter table, md5-
@@ -3304,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neo4j_csv_rows": _q_neo4j_csv_rows,
         "snapshot_churn": _q_snapshot_churn,
         "degree_assortativity": _q_degree_assortativity,
+        "containment_pairs": _q_containment_pairs,
         "cms_sketch": _q_cms_sketch,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "kg_embed_examples": _q_kg_embed_examples,
@@ -3705,6 +3725,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS removed,
                    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS retained
             FROM fl WHERE in_a OR in_b GROUP BY rel
+        """,
+        "containment_pairs": f"""
+            WITH {_NGRAM_PAIRS_CTES}
+            , cscored AS (SELECT id_a, id_b,
+                CASE WHEN len(sa.s) > 0
+                     THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(sa.s)
+                     ELSE 0 END AS cont_a_in_b,
+                CASE WHEN len(sb.s) > 0
+                     THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(sb.s)
+                     ELSE 0 END AS cont_b_in_a,
+                CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                     THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                          / len(list_distinct(list_concat(sa.s, sb.s)))
+                     ELSE 0 END AS jaccard
+              FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                        JOIN sh sb ON cand.id_b = sb.doc_id)
+            SELECT id_a, id_b, round(cont_a_in_b, 6) AS cont_a_in_b,
+                   round(cont_b_in_a, 6) AS cont_b_in_a,
+                   round(jaccard, 6) AS jaccard
+            FROM cscored WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.8
         """,
         "cms_sketch": cms_build_sql("lineitem", "l_suppkey", 4, 256),
         "cms_heavy_hitters": cms_heavy_hitters_sql(

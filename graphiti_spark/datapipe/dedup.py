@@ -604,3 +604,70 @@ def semantic_dedup(
         .filter(F.col("cosine") >= threshold)
     )
     return keep_canonical(embeddings, pairs.select("id_a", "id_b"), id_col=id_col)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.8,
+    block_df_cap: int = 200,
+) -> DataFrame:
+    """Broder CONTAINMENT near-dup pairs: the asymmetric complement of
+    ngram_jaccard_pairs. Containment of A in B is |A∩B| / |A| over the
+    n-gram shingle sets (Broder 1997, "On the resemblance and containment
+    of documents") — the detector for the case Jaccard structurally
+    misses: a short article embedded verbatim inside a much longer page
+    (syndication with added chrome, quote-heavy aggregators, boilerplate
+    wrappers). There J = |A|/|B| can be arbitrarily small while
+    containment(A in B) = 1.
+
+    Returns (id_a, id_b, cont_a_in_b, cont_b_in_a, jaccard) for pairs
+    where max(cont_a_in_b, cont_b_in_a) >= threshold; id_a < id_b. The
+    directional scores tell downstream policy which side is the subset
+    (drop the wrapper, keep the article — or vice versa).
+
+    Scale shape: identical to ngram_jaccard_pairs — shared-shingle
+    blocking (exact for threshold > 0: containment > 0 implies a shared
+    shingle) with a df cap on blocking shingles, then exact verification
+    on candidates only. One extra column per pair, same shuffles.
+    """
+    toks = docs.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks"))
+    sh = toks.withColumn(
+        "_shingles",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+            )
+        ),
+    ).select("_id", "_shingles")
+    ex = sh.select("_id", F.explode("_shingles").alias("shingle"))
+    df_cap = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ex = ex.join(df_cap.filter(F.col("df") <= block_df_cap).select("shingle"), "shingle")
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), "shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    j = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    out = j.select(
+        "id_a",
+        "id_b",
+        F.when(na > 0, inter / na).otherwise(F.lit(0.0)).alias("cont_a_in_b"),
+        F.when(nb > 0, inter / nb).otherwise(F.lit(0.0)).alias("cont_b_in_a"),
+        F.when(na + nb - inter > 0, inter / (na + nb - inter))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+    return out.filter(
+        F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold
+    )
