@@ -2479,6 +2479,59 @@ def _walks_sql(walk_len: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + legs
 
 
+def _n2v_sql(walk_len: int = 3, rt: int = 1, ct: int = 4, ft: int = 16) -> str:
+    """DuckDB twin of _q_node2vec_walks: unrolled ticket-min biased steps
+    (tickets = integer weights; each ticket one md5 draw; global min
+    wins — identical integer arithmetic to analytics/walks.node2vec_walks)."""
+    ctes = [
+        f"""adj AS (SELECT DISTINCT source_node_uuid AS src,
+                           target_node_uuid AS dst
+              FROM read_parquet('{_GOLDEN_DIR}/kg_edges.parquet')
+              WHERE source_node_uuid <> target_node_uuid)""",
+        "w0 AS (SELECT concat(src, '#0') AS walk_id, src AS node,"
+        " CAST(NULL AS VARCHAR) AS prev FROM (SELECT DISTINCT src FROM adj))",
+    ]
+    for s in range(1, walk_len + 1):
+        draw = (
+            f"cast(concat('0x', substr(md5(concat_ws(chr(31), walk_id, "
+            f"'n2v:{s}', adj.dst, CAST(t AS VARCHAR))), 1, 15)) as bigint)"
+        )
+        tickets = (
+            f"CASE WHEN w.prev IS NULL THEN 1 "
+            f"WHEN adj.dst = w.prev THEN {rt} "
+            f"WHEN m.src IS NOT NULL THEN {ct} ELSE {ft} END"
+        )
+        key = f"list_min(list_transform(generate_series(1, {tickets}), t -> {draw}))"
+        ctes.append(
+            f"""w{s} AS (
+              SELECT walk_id, s['d'] AS node, s['n'] AS prev FROM (
+                SELECT walk_id,
+                       min_by({{'d': adj.dst, 'n': w.node}}, {key}) AS s
+                FROM w{s - 1} w
+                JOIN adj ON w.node = adj.src
+                LEFT JOIN adj m ON m.src = w.prev AND m.dst = adj.dst
+                GROUP BY walk_id))"""
+        )
+    legs = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node FROM w{s}"
+        for s in range(walk_len + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + legs
+
+
+def _q_node2vec_walks(spark, sf_dir):
+    """node2vec second-order biased walks (analytics/walks.node2vec_walks)
+    over the canonical entity graph: integer-ticket weighted picks
+    (p = 4, q = 1/4 regime), 3 hops. Oracle: the identical unrolled
+    ticket-min chain in SQL over the pinned kg_edges golden."""
+    from graphiti_spark.analytics.walks import node2vec_walks
+
+    out = _pipeline(spark, sf_dir)
+    return node2vec_walks(out["edges"], walk_len=3, walks_per_node=1).select(
+        "walk_id", F.col("step").cast("long").alias("step"), "node"
+    )
+
+
 def _q_k_truss_parts(spark, sf_dir):
     """k-truss (k=4) of the part co-purchase graph by iterative support
     peeling (graph_metrics.k_truss). Spark peels with the degree-ordered
@@ -3334,6 +3387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hearst_hypernyms": _q_hearst_hypernyms,
         "hearst_isa_edges": _q_hearst_isa_edges,
         "graph_walks": _q_graph_walks,
+        "node2vec_walks": _q_node2vec_walks,
         "k_truss_parts": _q_k_truss_parts,
         "entity_type_induction": _q_entity_type_induction,
         "community_profiles": _q_community_profiles,
@@ -4584,6 +4638,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rnk <= 5
         """,
         "graph_walks": _walks_sql(3),
+        "node2vec_walks": _n2v_sql(3),
         "k_truss_parts": _ktruss_sql(4, 5),
         "frontier_unseen": """
             WITH crawled AS (SELECT concat('https://ex.com/p',
