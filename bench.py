@@ -109,6 +109,14 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
     nodes_slim = out["nodes"].select("uuid", "name").localCheckpoint(eager=True)
+    # full-column slices for the neo4j-admin CSV export row (the exporter
+    # serializes every importer field; rows are few, facts are short)
+    nodes_csv = out["nodes"].select(
+        "uuid", "name", "group_id", "mention_count"
+    ).localCheckpoint(eager=True)
+    edges_csv = out["edges"].select(
+        "uuid", "source_node_uuid", "target_node_uuid", "name", "fact", "group_id"
+    ).localCheckpoint(eager=True)
     edges = edges_named.select("source_node_uuid", "target_node_uuid")
     # 3-column mention slice survives alongside the edge list (entity_pmi
     # needs only these; the wide frames are what pin the heap)
@@ -130,7 +138,7 @@ def main() -> None:
     from graphiti_spark.synth import webtext_documents
 
     docs = webtext_documents(spark, sf_dir).persist()
-    docs.count()
+    n_docs = docs.count()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
     emb.count()
 
@@ -378,6 +386,62 @@ def main() -> None:
         ).alias("text"),
     )
     timed("quote_attribution", lambda: extract_quotes(quote_docs).count())
+
+    # --- round-4 late additions: taxonomy/coref/containment/sketch/export
+    # families. Hearst and coref need their templates planted (webtext has
+    # no taxonomic enumerations or pronouns — same rule as quote_docs: the
+    # match path must fire for the row to measure keep work).
+    from graphiti_spark.operators.coref import resolve_pronouns
+    from graphiti_spark.operators.hearst import extract_hypernyms
+    from graphiti_spark.datapipe.dedup import containment_pairs
+    from graphiti_spark.datapipe.sketches import cms_heavy_hitters
+    from graphiti_spark.analytics.walks import node2vec_walks
+    from graphiti_spark.sinks.neo4j_csv import graph_to_neo4j_csv
+
+    hearst_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 400),
+            F.lit(" and tools such as Spark Core, Flink and Trino matter. "),
+            F.substring("text", 200, 300),
+            F.lit(" Presto and other engines help."),
+        ).alias("text"),
+    )
+    timed("hearst_hypernyms", lambda: extract_hypernyms(hearst_docs).count())
+    coref_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 500),
+            F.lit(" Ana Bell joined. She later led it and they followed her."),
+        ).alias("text"),
+    )
+    timed("coref_pronouns", lambda: resolve_pronouns(coref_docs).count())
+    # containment over the raw webtext corpus: the zipfian paragraph reuse
+    # and planted near-dups give real asymmetric-subset hits
+    timed(
+        "containment_pairs",
+        lambda: containment_pairs(docs, threshold=0.8).count(),
+    )
+    # token heavy hitters: CMS over the full exploded token stream (the
+    # hot-vocabulary detector) — est>=threshold candidates exactly recounted
+    tok_stream = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    # threshold scales with corpus size so the hitter set stays the zipf
+    # head (~dozens of stopword-class tokens) at every SF
+    timed(
+        "cms_token_hitters",
+        lambda: cms_heavy_hitters(
+            tok_stream, "tok", threshold=2 * n_docs, depth=4, width=4096
+        ).count(),
+    )
+    timed(
+        "node2vec_walks", lambda: node2vec_walks(edges_named, walk_len=3).count()
+    )
+    timed(
+        "neo4j_csv_rows",
+        lambda: graph_to_neo4j_csv(nodes_csv, edges_csv).count(),
+    )
 
     # --- incremental ingest: a 10% delta batch against a 90% pre-built graph
     # (plans/incremental.py). The timed number is the DELTA cost — the
