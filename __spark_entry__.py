@@ -2075,6 +2075,38 @@ def _q_anchor_text_stats(spark, sf_dir):
     return out.select("dst_host", "anchor", F.col("n").cast("long").alias("n"))
 
 
+def _q_cocitation_hosts(spark, sf_dir):
+    """Co-citation related hosts (webgraph.cocitation_pairs): destination
+    hosts sharing >= 2 linking sources, cosine-normalized by in-degree.
+    Oracle: full SQL restatement over the pinned kg_pages link harvest."""
+    from graphiti_spark.datapipe.webgraph import cocitation_pairs
+
+    links = _host_edges(spark, sf_dir)
+    out = cocitation_pairs(links, src_col="src", dst_col="dst", min_common=2)
+    return out.select(
+        "a",
+        "b",
+        F.col("common").cast("long").alias("common"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _q_coupling_hosts(spark, sf_dir):
+    """Bibliographic-coupling related hosts (webgraph.coupling_pairs):
+    sources sharing >= 2 link destinations — the outbound dual. Oracle:
+    the same restatement with roles swapped."""
+    from graphiti_spark.datapipe.webgraph import coupling_pairs
+
+    links = _host_edges(spark, sf_dir)
+    out = coupling_pairs(links, src_col="src", dst_col="dst", min_common=2)
+    return out.select(
+        "a",
+        "b",
+        F.col("common").cast("long").alias("common"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def _q_host_tld_modularity(spark, sf_dir):
     """Newman modularity of the TLD partition of the host link graph
     (graph_metrics.modularity_by_community): per-community internal-edge
@@ -3361,6 +3393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_edges": _q_link_graph_edges,
         "host_link_stats": _q_host_link_stats,
         "hits_hosts": _q_hits_hosts,
+        "cocitation_hosts": _q_cocitation_hosts,
+        "coupling_hosts": _q_coupling_hosts,
         "host_tld_modularity": _q_host_tld_modularity,
         "pmi_collocations": _q_pmi_collocations,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -4977,6 +5011,36 @@ def oracle_sql() -> dict[str, str]:
                    anchor, count(*) AS n
             FROM r WHERE dst_url IS NOT NULL AND trim(anchor) <> ''
             GROUP BY dst_host, anchor
+        """,
+        "cocitation_hosts": f"""
+            WITH {_HOST_LINKS_CTES},
+            e AS (SELECT DISTINCT src_host AS k, dst_host AS v
+                  FROM hlinks WHERE src_host <> dst_host),
+            deg AS (SELECT v, count(*) AS deg FROM e GROUP BY v),
+            kd AS (SELECT k FROM (SELECT k, count(*) AS c FROM e GROUP BY k)
+                   WHERE c <= 1000),
+            ek AS (SELECT e.k, e.v FROM e JOIN kd USING (k)),
+            p AS (SELECT a.v AS a, b.v AS b, count(*) AS common
+                  FROM ek a JOIN ek b ON a.k = b.k AND a.v < b.v
+                  GROUP BY a.v, b.v HAVING count(*) >= 2)
+            SELECT p.a, p.b, p.common,
+                   round(p.common / sqrt(da.deg * db.deg), 6) AS cosine
+            FROM p JOIN deg da ON p.a = da.v JOIN deg db ON p.b = db.v
+        """,
+        "coupling_hosts": f"""
+            WITH {_HOST_LINKS_CTES},
+            e AS (SELECT DISTINCT dst_host AS k, src_host AS v
+                  FROM hlinks WHERE src_host <> dst_host),
+            deg AS (SELECT v, count(*) AS deg FROM e GROUP BY v),
+            kd AS (SELECT k FROM (SELECT k, count(*) AS c FROM e GROUP BY k)
+                   WHERE c <= 1000),
+            ek AS (SELECT e.k, e.v FROM e JOIN kd USING (k)),
+            p AS (SELECT a.v AS a, b.v AS b, count(*) AS common
+                  FROM ek a JOIN ek b ON a.k = b.k AND a.v < b.v
+                  GROUP BY a.v, b.v HAVING count(*) >= 2)
+            SELECT p.a, p.b, p.common,
+                   round(p.common / sqrt(da.deg * db.deg), 6) AS cosine
+            FROM p JOIN deg da ON p.a = da.v JOIN deg db ON p.b = db.v
         """,
         "host_tld_modularity": f"""
             WITH {_HOST_LINKS_CTES},

@@ -189,3 +189,94 @@ def anchor_text_stats(
         "anchor",
     ).filter(F.col("dst_host").isNotNull() & (F.trim(F.col("anchor")) != ""))
     return resolved.groupBy("dst_host", "anchor").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _shared_neighbor_pairs(
+    e: DataFrame,
+    key_col: str,
+    val_col: str,
+    df_cap: int,
+    min_common: int,
+) -> DataFrame:
+    """Pairs of `val` entities sharing >= min_common `key` neighbors, with
+    cosine normalization: (a, b, common, cosine) where
+    cosine = common / sqrt(deg(a) * deg(b)) over the deduped edge set.
+    Keys whose fan-out exceeds df_cap are dropped from pair generation
+    only (their O(deg^2) blow-up is the skew; degrees keep counting them)."""
+    deg = e.groupBy(val_col).agg(F.count(F.lit(1)).alias("deg"))
+    kd = e.groupBy(key_col).agg(F.count(F.lit(1)).alias("_kd"))
+    ek = e.join(
+        kd.filter(F.col("_kd") <= df_cap).select(key_col), key_col
+    )
+    a, b = ek.alias("a"), ek.alias("b")
+    pairs = (
+        a.join(b, key_col)
+        .filter(F.col(f"a.{val_col}") < F.col(f"b.{val_col}"))
+        .groupBy(
+            F.col(f"a.{val_col}").alias("a"),
+            F.col(f"b.{val_col}").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col(val_col).alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col(val_col).alias("b"), F.col("deg").alias("_db"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            (F.col("common") / F.sqrt(F.col("_da") * F.col("_db"))).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+def cocitation_pairs(
+    links: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    df_cap: int = 1000,
+    min_common: int = 2,
+) -> DataFrame:
+    """Co-citation related-pages (Small 1973): two DESTINATIONS are
+    related when the same sources link to both — the inbound-evidence
+    "related entities" signal a KG consumer ranks by. Returns
+    (a, b, common, cosine) with cosine = common / sqrt(in_a * in_b).
+
+    Scale shape: one distinct over the edge list, one fan-out-capped
+    self-join keyed on the SOURCE (the cap bounds the O(out_deg^2) pair
+    blow-up of hub pages — at web scale directory/sitemap pages are
+    exactly the keys the cap drops), one keyed agg with map-side combine,
+    two degree joins. Never all-pairs.
+    """
+    e = (
+        links.select(F.col(src_col).alias("k"), F.col(dst_col).alias("v"))
+        .filter(F.col("k") != F.col("v"))
+        .dropDuplicates()
+    )
+    return _shared_neighbor_pairs(e, "k", "v", df_cap, min_common)
+
+
+def coupling_pairs(
+    links: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    df_cap: int = 1000,
+    min_common: int = 2,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): two SOURCES are related
+    when they link to the same destinations — the outbound-evidence dual
+    of cocitation_pairs. (a, b, common, cosine) with
+    cosine = common / sqrt(out_a * out_b); the capped self-join key is
+    the DESTINATION (universally-linked hubs — home pages, policy pages —
+    are the skew the cap drops)."""
+    e = (
+        links.select(F.col(dst_col).alias("k"), F.col(src_col).alias("v"))
+        .filter(F.col("k") != F.col("v"))
+        .dropDuplicates()
+    )
+    return _shared_neighbor_pairs(e, "k", "v", df_cap, min_common)
