@@ -2075,6 +2075,75 @@ def _q_anchor_text_stats(spark, sf_dir):
     return out.select("dst_host", "anchor", F.col("n").cast("long").alias("n"))
 
 
+def _textrank_sql(window: int = 2, n_iter: int = 5, k: int = 5) -> str:
+    """DuckDB twin of _q_textrank_keywords: unrolled rounded-fixpoint
+    PageRank over the per-document co-occurrence graph (the HITS-oracle
+    pattern; per-round round(…, 6) pins double drift in both engines)."""
+    from graphiti_spark.datapipe.textanalysis import TEXTRANK_STOP
+
+    stop = ", ".join(f"'{s}'" for s in sorted(TEXTRANK_STOP))
+    legs = " UNION ALL ".join(
+        f"""SELECT id, tk[i] AS wa, tk[i + {off}] AS wb
+            FROM (SELECT id, tk,
+                    unnest(range(1, greatest(len(tk) - {off}, 0) + 1)) AS i
+                  FROM t0)"""
+        for off in range(1, window + 1)
+    )
+    ctes = [
+        f"""t0 AS (SELECT doc_id AS id,
+              list_filter({_TOKS}, t -> length(t) >= 3
+                AND t NOT IN ({stop})) AS tk
+            FROM documents)""",
+        f"""und AS (SELECT DISTINCT id, least(wa, wb) AS wa,
+                       greatest(wa, wb) AS wb
+            FROM ({legs}) WHERE wa <> wb)""",
+        "adj AS (SELECT id, wa, wb FROM und"
+        " UNION ALL SELECT id, wb, wa FROM und)",
+        "deg AS (SELECT id, wa, count(*) AS deg FROM adj GROUP BY id, wa)",
+        "nodes AS (SELECT DISTINCT id, token FROM"
+        " (SELECT id, unnest(tk) AS token FROM t0))",
+        "r0 AS (SELECT id, token, 1.0 AS r FROM nodes)",
+    ]
+    for s in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{s} AS (
+              SELECT n.id, n.token,
+                     round(0.15 + 0.85 * coalesce(c.in_c, 0), 9) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT a.id, a.wb AS token, sum(p.r / d.deg) AS in_c
+                FROM r{s - 1} p
+                JOIN deg d ON p.id = d.id AND p.token = d.wa
+                JOIN adj a ON p.id = a.id AND p.token = a.wa
+                GROUP BY a.id, a.wb) c
+              ON n.id = c.id AND n.token = c.token)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id, token, CAST(rank AS BIGINT) AS rank,
+               round(r, 6) AS score FROM (
+          SELECT id, token, r, row_number() OVER (
+            PARTITION BY id ORDER BY r DESC, token) AS rank
+          FROM r{n_iter})
+        WHERE rank <= {k}"""
+    )
+
+
+def _q_textrank_keywords(spark, sf_dir):
+    """Per-document TextRank keywords (textanalysis.textrank_keywords):
+    rounded-fixpoint PageRank over the within-document co-occurrence
+    graph, top-5 per doc. Oracle: the identical unrolled iteration chain
+    in SQL."""
+    from graphiti_spark.datapipe.textanalysis import textrank_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    out = textrank_keywords(d, k=5)
+    return out.select(
+        "id", "token", F.col("rank").cast("long").alias("rank"), "score"
+    )
+
+
 def _q_cocitation_hosts(spark, sf_dir):
     """Co-citation related hosts (webgraph.cocitation_pairs): destination
     hosts sharing >= 2 linking sources, cosine-normalized by in-degree.
@@ -3393,6 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_edges": _q_link_graph_edges,
         "host_link_stats": _q_host_link_stats,
         "hits_hosts": _q_hits_hosts,
+        "textrank_keywords": _q_textrank_keywords,
         "cocitation_hosts": _q_cocitation_hosts,
         "coupling_hosts": _q_coupling_hosts,
         "host_tld_modularity": _q_host_tld_modularity,
@@ -5012,6 +5082,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE dst_url IS NOT NULL AND trim(anchor) <> ''
             GROUP BY dst_host, anchor
         """,
+        "textrank_keywords": _textrank_sql(2, 5, 5),
         "cocitation_hosts": f"""
             WITH {_HOST_LINKS_CTES},
             e AS (SELECT DISTINCT src_host AS k, dst_host AS v

@@ -233,3 +233,137 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "tf", "df", "score", "rank")
     )
+
+
+TEXTRANK_STOP = frozenset(
+    """the a an and or but of to in on at for with from by is are was were be
+    been being as it its this that these those we you they he she his her
+    their our your not no do does did done will would can could has have had
+    into over under about after before between during than then there here
+    when where what who how why all any some such only also very more most
+    other same so if because while each few many much own out up down""".split()
+)
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    k: int = 5,
+    min_len: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document TextRank keywords (Mihalcea & Tarau 2004): PageRank
+    over the within-document word co-occurrence graph — the graph-based
+    dual of tfidf_keywords (no corpus statistics: a term is salient when
+    the document's own structure keeps pointing at it).
+
+    Graph per document: vertices = content-word types (stopwords and
+    tokens shorter than ``min_len`` dropped), undirected edges between
+    types co-occurring within ``window`` positions of the FILTERED token
+    sequence (the paper's setup). Rank iterates
+
+        r(v) <- (1 - d) + d * sum_{u ~ v} r(u) / deg(u)
+
+    (the paper's unnormalized form, r0 = 1) for ``n_iter`` rounds with
+    per-round rounding to 9 dp and output rounding to ``round_dp`` — the
+    personalized-PageRank oracle convention: the 9 dp intermediate pin
+    keeps double drift out of the fixpoint while staying far from the
+    output's half-way boundaries.
+    Returns (id, token, rank, score) — top-k per document, score
+    descending, token-ascending tiebreak. Isolated vertices (no
+    co-occurrence edge) receive no mass and settle at 1 - d.
+
+    Scale shape: pair generation is array-side (two shifted zips per
+    window offset — no self-join, no per-token explode before the pair
+    explode); everything else is groupBy/join keyed on (doc, word) —
+    parallel across documents, iterations shared across the whole corpus
+    in one distributed fixpoint. The top-k window partitions BY DOCUMENT.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            tokens_col(F.col(text_col)),
+            lambda t: (F.length(t) >= min_len)
+            & ~t.isin(*TEXTRANK_STOP),
+        ).alias("_toks"),
+    )
+    pair_legs = []
+    for off in range(1, window + 1):
+        # guard: Spark sequence(1, 0) DESCENDS (and element_at at index 0
+        # throws), so under-length docs must yield an empty pair array
+        pair_arr = F.when(
+            F.size("_toks") > off,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - off),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("wa"),
+                    F.element_at("_toks", i + off).alias("wb"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<wa:string,wb:string>>"))
+        pair_legs.append(
+            base.select("id", F.explode(pair_arr).alias("p")).select(
+                "id", F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb")
+            )
+        )
+    pairs = pair_legs[0]
+    for leg in pair_legs[1:]:
+        pairs = pairs.unionAll(leg)
+    und = (
+        pairs.filter(F.col("wa") != F.col("wb"))
+        .select(
+            "id",
+            F.least("wa", "wb").alias("wa"),
+            F.greatest("wa", "wb").alias("wb"),
+        )
+        .dropDuplicates(["id", "wa", "wb"])
+    )
+    adj = und.unionAll(
+        und.select("id", F.col("wb").alias("wa"), F.col("wa").alias("wb"))
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("id", "wa").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = base.select("id", F.explode(F.array_distinct("_toks")).alias("token"))
+    ranks = nodes.withColumn("r", F.lit(1.0))
+    for _ in range(n_iter):
+        per_src = ranks.join(
+            deg.select(
+                F.col("id").alias("id"),
+                F.col("wa").alias("token"),
+                "deg",
+            ),
+            ["id", "token"],
+        ).select("id", "token", (F.col("r") / F.col("deg")).alias("c"))
+        contrib = (
+            per_src.join(
+                adj.select("id", F.col("wa").alias("token"), "wb"),
+                ["id", "token"],
+            )
+            .select("id", F.col("wb").alias("token"), "c")
+            .groupBy("id", "token")
+            .agg(F.sum("c").alias("in_c"))
+        )
+        ranks = (
+            nodes.join(contrib, ["id", "token"], "left")
+            .select(
+                "id",
+                "token",
+                F.round(
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("in_c", F.lit(0.0)),
+                    9,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("id").orderBy(F.desc("r"), F.asc("token"))
+    return (
+        ranks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "token", "rank", F.round("r", round_dp).alias("score"))
+    )
