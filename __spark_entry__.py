@@ -2130,6 +2130,68 @@ def _textrank_sql(window: int = 2, n_iter: int = 5, k: int = 5) -> str:
     )
 
 
+def _type_prop_sql(n_iter: int = 3) -> str:
+    """DuckDB twin of _q_type_propagation: unrolled clamped label-
+    propagation rounds over the pinned goldens (identical md5 seed
+    derivation, plurality with (-count, type) min_by tiebreak)."""
+    seed_type = (
+        "CASE cast(concat('0x', substr(md5(uuid), 1, 15)) as bigint) % 3 "
+        "WHEN 0 THEN 'org' WHEN 1 THEN 'person' ELSE 'place' END"
+    )
+    ctes = [
+        f"""und AS (SELECT DISTINCT source_node_uuid AS a,
+                           target_node_uuid AS b
+              FROM read_parquet('{_GOLDEN_DIR}/kg_edges.parquet')
+              WHERE source_node_uuid <> target_node_uuid)""",
+        "adj AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)",
+        f"""t0 AS (SELECT uuid, {seed_type} AS etype, 0 AS hops
+              FROM read_parquet('{_GOLDEN_DIR}/kg_nodes.parquet')
+              WHERE mention_count >= 3)""",
+    ]
+    for r in range(1, n_iter + 1):
+        ctes.append(
+            f"""t{r} AS (
+              SELECT * FROM t{r - 1}
+              UNION ALL
+              SELECT uuid,
+                     min_by(etype, concat(lpad(CAST(1000000000 - cnt AS VARCHAR),
+                                               10, '0'), ':', etype)) AS etype,
+                     {r} AS hops
+              FROM (
+                SELECT adj.b AS uuid, t.etype, count(*) AS cnt
+                FROM t{r - 1} t JOIN adj ON t.uuid = adj.a
+                WHERE adj.b NOT IN (SELECT uuid FROM t{r - 1})
+                GROUP BY adj.b, t.etype)
+              GROUP BY uuid)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT uuid, etype, CAST(hops AS BIGINT) AS hops FROM t{n_iter}"
+    )
+
+
+def _q_type_propagation(spark, sf_dir):
+    """Semi-supervised type propagation (operators/entity_types.
+    propagate_types): md5-derived typed seeds on the high-mention nodes,
+    3 clamped plurality rounds across the canonical graph. Oracle: the
+    identical unrolled rounds in SQL over the pinned goldens."""
+    from graphiti_spark.functions.hashing import md5_long_col
+    from graphiti_spark.operators.entity_types import propagate_types
+
+    out = _pipeline(spark, sf_dir)
+    h = md5_long_col(F.col("uuid")) % 3
+    seeds = out["nodes"].filter(F.col("mention_count") >= 3).select(
+        "uuid",
+        F.when(h == 0, F.lit("org"))
+        .when(h == 1, F.lit("person"))
+        .otherwise(F.lit("place"))
+        .alias("etype"),
+    )
+    res = propagate_types(out["edges"], seeds, n_iter=3)
+    return res.select("uuid", "etype", F.col("hops").cast("long").alias("hops"))
+
+
 def _q_textrank_keywords(spark, sf_dir):
     """Per-document TextRank keywords (textanalysis.textrank_keywords):
     rounded-fixpoint PageRank over the within-document co-occurrence
@@ -3462,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_edges": _q_link_graph_edges,
         "host_link_stats": _q_host_link_stats,
         "hits_hosts": _q_hits_hosts,
+        "type_propagation": _q_type_propagation,
         "textrank_keywords": _q_textrank_keywords,
         "cocitation_hosts": _q_cocitation_hosts,
         "coupling_hosts": _q_coupling_hosts,
@@ -5082,6 +5145,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE dst_url IS NOT NULL AND trim(anchor) <> ''
             GROUP BY dst_host, anchor
         """,
+        "type_propagation": _type_prop_sql(3),
         "textrank_keywords": _textrank_sql(2, 5, 5),
         "cocitation_hosts": f"""
             WITH {_HOST_LINKS_CTES},

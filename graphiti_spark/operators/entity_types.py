@@ -92,3 +92,65 @@ def assign_types_to_nodes(
         "name_norm",
         "left",
     )
+
+
+def propagate_types(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "source_node_uuid",
+    dst_col: str = "target_node_uuid",
+) -> DataFrame:
+    """Semi-supervised type propagation: spread entity types from a
+    high-confidence typed seed set (gazetteer hits, JSON-LD @type
+    harvest — induce_entity_types output) across the canonical graph, the
+    label-propagation-with-clamping scheme (Zhu & Ghahramani 2002) that
+    types the long tail no assertion ever names.
+
+    Per round, every still-untyped node adopts the PLURALITY type among
+    its typed neighbors (undirected view), ties broken type-ascending;
+    seeds are clamped (never change); a node typed in round r keeps that
+    type (first-assignment-wins keeps rounds monotone and the fixpoint
+    deterministic). Returns (uuid, etype, hops) where hops = 0 for seeds
+    and r for round-r adoptions; nodes unreached within ``n_iter`` rounds
+    emit no row.
+
+    Scale shape: per round one join of the frontier-adjacent edge list
+    against the typed table, one (node, type) count agg with map-side
+    combine, one deterministic argmax (min_by over a (-count, type)
+    struct — no window), one anti-join to keep only new nodes.
+    localCheckpoint truncates lineage per round. Votes flow ONLY from
+    typed to untyped, so per-round work is proportional to the typed
+    frontier's edge neighborhood, never the graph.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    adj = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    typed = seeds.select(
+        F.col("uuid"), F.col("etype"), F.lit(0).alias("hops")
+    ).dropDuplicates(["uuid"]).localCheckpoint(eager=True)
+    for r in range(1, n_iter + 1):
+        votes = (
+            typed.join(adj, typed["uuid"] == adj["a"])
+            .select(F.col("b").alias("uuid"), "etype")
+            .join(typed.select(F.col("uuid").alias("_t")), F.col("uuid") == F.col("_t"), "left_anti")
+            .groupBy("uuid", "etype")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        new = votes.groupBy("uuid").agg(
+            F.min_by(
+                "etype",
+                F.struct((-F.col("cnt")).alias("nc"), F.col("etype").alias("t")),
+            ).alias("etype")
+        ).select("uuid", "etype", F.lit(r).alias("hops"))
+        typed = typed.unionByName(new).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+    return typed
