@@ -2171,6 +2171,71 @@ def _type_prop_sql(n_iter: int = 3) -> str:
     )
 
 
+def _hreflang_pages(spark, sf_dir):
+    """Deterministic multilingual corpus from the documents table: docs
+    cluster in threes (base = doc_id - doc_id % 3); every member declares
+    all three alternates (en/de/fr) in rel-first attribute order.
+    _hreflang_synth_sql is the byte-identical DuckDB build."""
+    d = _t(spark, sf_dir, "documents")
+
+    def _alt(lang, off):
+        return F.concat(
+            F.lit(f'<link rel="alternate" hreflang="{lang}" href="https://x.com/p'),
+            ((F.col("doc_id") - F.col("doc_id") % 3) + off).cast("string"),
+            F.lit('">'),
+        )
+
+    html = F.concat(
+        F.lit("<html><head>"),
+        _alt("en", 0),
+        _alt("de", 1),
+        _alt("fr", 2),
+        F.lit("</head><body>t</body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://x.com/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+_HREFLANG_SYNTH_SQL = """
+    SELECT concat('https://x.com/p', CAST(doc_id AS VARCHAR)) AS url,
+           concat('<html><head>',
+             '<link rel="alternate" hreflang="en" href="https://x.com/p',
+             CAST(doc_id - doc_id % 3 AS VARCHAR), '">',
+             '<link rel="alternate" hreflang="de" href="https://x.com/p',
+             CAST(doc_id - doc_id % 3 + 1 AS VARCHAR), '">',
+             '<link rel="alternate" hreflang="fr" href="https://x.com/p',
+             CAST(doc_id - doc_id % 3 + 2 AS VARCHAR), '">',
+             '</head><body>t</body></html>') AS html
+    FROM documents"""
+
+
+def _q_hreflang_links(spark, sf_dir):
+    """hreflang alternate harvest (structured_data.hreflang_links): both
+    attribute orders, lowercased language codes, over the synthesized
+    multilingual corpus. Oracle: identical html build + the operator's
+    own regexes in SQL."""
+    from graphiti_spark.operators.structured_data import hreflang_links
+
+    return hreflang_links(_hreflang_pages(spark, sf_dir)).select(
+        "url", "hreflang", "href"
+    )
+
+
+def _q_translation_clusters(spark, sf_dir):
+    """Translation-set clustering (structured_data.translation_clusters):
+    connected components over declared-alternate edges, cluster_id = min
+    member URL, per-cluster distinct language count. Oracle: recursive-
+    CTE closure over the same edges."""
+    from graphiti_spark.operators.structured_data import translation_clusters
+
+    out = translation_clusters(_hreflang_pages(spark, sf_dir))
+    return out.select(
+        "url", "cluster_id", F.col("n_langs").cast("long").alias("n_langs")
+    )
+
+
 def _q_type_propagation(spark, sf_dir):
     """Semi-supervised type propagation (operators/entity_types.
     propagate_types): md5-derived typed seeds on the high-mention nodes,
@@ -3524,6 +3589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_edges": _q_link_graph_edges,
         "host_link_stats": _q_host_link_stats,
         "hits_hosts": _q_hits_hosts,
+        "hreflang_links": _q_hreflang_links,
+        "translation_clusters": _q_translation_clusters,
         "type_propagation": _q_type_propagation,
         "textrank_keywords": _q_textrank_keywords,
         "cocitation_hosts": _q_cocitation_hosts,
@@ -3791,6 +3858,66 @@ def _jsonld_oracle_sql() -> str:
 def _case_name_sql(mod_expr: str, names: list[str]) -> str:
     whens = " ".join(f"WHEN {mod_expr} = {i} THEN '{n}'" for i, n in enumerate(names))
     return f"CASE {whens} END"
+
+
+def _hreflang_links_oracle_sql() -> str:
+    from graphiti_spark.operators.structured_data import (
+        _HREFLANG_HREF_FIRST,
+        _HREFLANG_REL_FIRST,
+    )
+
+    legs = []
+    for pat, gl, gh in ((_HREFLANG_REL_FIRST, 1, 2), (_HREFLANG_HREF_FIRST, 2, 1)):
+        p = pat.replace("'", "''")
+        legs.append(f"""
+            SELECT url, lower(regexp_extract(span, '{p}', {gl})) AS hreflang,
+                   regexp_extract(span, '{p}', {gh}) AS href
+            FROM (SELECT url, unnest(regexp_extract_all(html, '{p}', 0)) AS span
+                  FROM synth)""")
+    return (
+        f"WITH synth AS ({_HREFLANG_SYNTH_SQL})\n"
+        + "SELECT * FROM ("
+        + " UNION ALL ".join(legs)
+        + ") WHERE href <> ''"
+    )
+
+
+def _translation_clusters_oracle_sql() -> str:
+    from graphiti_spark.operators.structured_data import (
+        _HREFLANG_HREF_FIRST,
+        _HREFLANG_REL_FIRST,
+    )
+
+    legs = []
+    for pat, gl, gh in ((_HREFLANG_REL_FIRST, 1, 2), (_HREFLANG_HREF_FIRST, 2, 1)):
+        p = pat.replace("'", "''")
+        legs.append(f"""
+            SELECT url, lower(regexp_extract(span, '{p}', {gl})) AS hreflang,
+                   regexp_extract(span, '{p}', {gh}) AS href
+            FROM (SELECT url, unnest(regexp_extract_all(html, '{p}', 0)) AS span
+                  FROM synth)""")
+    links = " UNION ALL ".join(legs)
+    return f"""
+        WITH RECURSIVE synth AS ({_HREFLANG_SYNTH_SQL}),
+        links AS (SELECT * FROM ({links}) WHERE href <> ''),
+        e AS (SELECT url AS u, href AS v FROM links WHERE url <> href
+              UNION SELECT href, url FROM links WHERE url <> href),
+        reach(u, v) AS (SELECT u, v FROM e
+                        UNION
+                        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+                        WHERE e.v <> r.u),
+        canon AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+        assigned AS (
+          SELECT s.url,
+                 least(s.url, coalesce(c.mv, s.url)) AS cluster_id
+          FROM synth s LEFT JOIN canon c ON s.url = c.u),
+        lc AS (SELECT a.cluster_id, count(DISTINCT l.hreflang) AS n_langs
+               FROM links l JOIN assigned a ON l.url = a.url
+               GROUP BY a.cluster_id)
+        SELECT a.url, a.cluster_id,
+               CAST(coalesce(lc.n_langs, 0) AS BIGINT) AS n_langs
+        FROM assigned a LEFT JOIN lc ON a.cluster_id = lc.cluster_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5145,6 +5272,8 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE dst_url IS NOT NULL AND trim(anchor) <> ''
             GROUP BY dst_host, anchor
         """,
+        "hreflang_links": _hreflang_links_oracle_sql(),
+        "translation_clusters": _translation_clusters_oracle_sql(),
         "type_propagation": _type_prop_sql(3),
         "textrank_keywords": _textrank_sql(2, 5, 5),
         "cocitation_hosts": f"""

@@ -223,3 +223,92 @@ def jsonld_triples(entities: DataFrame) -> DataFrame:
         F.col("works_for").alias("obj"),
     )
     return is_a.unionByName(url_t).unionByName(same).unionByName(works)
+
+
+# --- hreflang alternates -----------------------------------------------------
+
+# <link rel="alternate" hreflang="xx" href="..."> in its two common
+# attribute orders (rel-first with hreflang before href, and href-first);
+# any case, either quote style — the og_meta convention. BCP-47-ish code.
+_HREFLANG_REL_FIRST = (
+    r"""(?is)<link\s+rel=["']alternate["']\s+hreflang=["']([a-zA-Z-]+)["']"""
+    r"""\s+href=["']([^"'>]*)["']"""
+)
+_HREFLANG_HREF_FIRST = (
+    r"""(?is)<link\s+href=["']([^"'>]*)["']\s+rel=["']alternate["']"""
+    r"""\s+hreflang=["']([a-zA-Z-]+)["']"""
+)
+
+
+def hreflang_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, hreflang, href) — one row per declared language alternate.
+
+    hreflang clusters are how multilingual sites declare translation
+    sets (Google's documented markup); a monolingual training corpus
+    wants ONE page per translation cluster, which URL/content dedup
+    cannot see (translations share no shingles). Map-only: two
+    codegen'd regexp_extract_all passes + output-proportional explodes,
+    zero shuffles — runs inside the scan wave at any scale.
+    """
+    raw = F.decode(F.col(html_col), "UTF-8")
+    legs = []
+    for pat, g_lang, g_href in (
+        (_HREFLANG_REL_FIRST, 1, 2),
+        (_HREFLANG_HREF_FIRST, 2, 1),
+    ):
+        spans = pages.select(
+            "url",
+            F.explode(
+                F.regexp_extract_all(raw, F.lit(pat), F.lit(0))
+            ).alias("span"),
+        )
+        legs.append(
+            spans.select(
+                "url",
+                F.lower(F.regexp_extract("span", pat, g_lang)).alias("hreflang"),
+                F.regexp_extract("span", pat, g_href).alias("href"),
+            )
+        )
+    out = legs[0].unionByName(legs[1])
+    return out.filter(F.col("href") != "")
+
+
+def translation_clusters(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, cluster_id, n_langs) — connected components over the
+    declared-alternate edge list (url <-> href), cluster_id = the
+    lexicographically smallest member URL (the components.py canonical
+    rule). A page with no hreflang markup is its own singleton cluster.
+    Downstream, `keep = (url = cluster_id)` or `hreflang = target lang`
+    picks one page per translation set.
+
+    Scale shape: the alternate edge list is tiny relative to the corpus
+    (only multilingual pages emit rows); CC runs over it with the
+    large-star/small-star rounds used everywhere else; the final attach
+    is one left join on url. n_langs counts distinct declared hreflang
+    codes in the cluster (self-referential x-default included).
+    """
+    from graphiti_spark.operators.components import connected_components
+
+    links = hreflang_links(pages, html_col)
+    edges = links.select(
+        F.col("url").alias("uuid_a"), F.col("href").alias("uuid_b")
+    ).filter(F.col("uuid_a") != F.col("uuid_b"))
+    cc = connected_components(edges)  # (uuid, canonical_uuid), non-identity rows
+    base = pages.select("url").join(
+        cc.select(F.col("uuid").alias("url"), "canonical_uuid"), "url", "left"
+    )
+    assigned = base.select(
+        "url", F.coalesce("canonical_uuid", F.col("url")).alias("cluster_id")
+    )
+    lang_counts = (
+        links.join(
+            assigned.select(F.col("url"), F.col("cluster_id")), "url"
+        )
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("hreflang").alias("n_langs"))
+    )
+    return assigned.join(lang_counts, "cluster_id", "left").select(
+        "url",
+        "cluster_id",
+        F.coalesce("n_langs", F.lit(0)).alias("n_langs"),
+    )
