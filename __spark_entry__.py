@@ -2211,6 +2211,23 @@ _HREFLANG_SYNTH_SQL = """
     FROM documents"""
 
 
+def _q_template_stats(spark, sf_dir):
+    """DOM template accounting (structured_data.template_stats): md5 of
+    the lowercased tag sequence, aggregated per (host, template) over the
+    REAL pipeline pages. Oracle: identical regex/md5/agg chain in SQL
+    over the pinned kg_pages golden."""
+    from graphiti_spark.operators.structured_data import template_stats
+    from graphiti_spark.synth import pages_from_documents
+
+    out = template_stats(pages_from_documents(spark, sf_dir))
+    return out.select(
+        "host",
+        "template_fp",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_tags").cast("long").alias("n_tags"),
+    )
+
+
 def _q_hreflang_links(spark, sf_dir):
     """hreflang alternate harvest (structured_data.hreflang_links): both
     attribute orders, lowercased language codes, over the synthesized
@@ -3589,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_edges": _q_link_graph_edges,
         "host_link_stats": _q_host_link_stats,
         "hits_hosts": _q_hits_hosts,
+        "template_stats": _q_template_stats,
         "hreflang_links": _q_hreflang_links,
         "translation_clusters": _q_translation_clusters,
         "type_propagation": _q_type_propagation,
@@ -5271,6 +5289,18 @@ def oracle_sql() -> dict[str, str]:
                    anchor, count(*) AS n
             FROM r WHERE dst_url IS NOT NULL AND trim(anchor) <> ''
             GROUP BY dst_host, anchor
+        """,
+        "template_stats": f"""
+            WITH fp AS (
+              SELECT url,
+                md5(array_to_string(list_transform(
+                  regexp_extract_all(html, '</?([a-zA-Z0-9]+)', 1),
+                  t -> lower(t)), '>')) AS template_fp,
+                len(regexp_extract_all(html, '</?([a-zA-Z0-9]+)', 1)) AS n_tags
+              FROM read_parquet('{_GOLDEN_DIR}/kg_pages.parquet'))
+            SELECT regexp_extract(url, '{_HOST_RE_SQL}', 1) AS host,
+                   template_fp, count(*) AS n_pages, max(n_tags) AS n_tags
+            FROM fp GROUP BY host, template_fp
         """,
         "hreflang_links": _hreflang_links_oracle_sql(),
         "translation_clusters": _translation_clusters_oracle_sql(),

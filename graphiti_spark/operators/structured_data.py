@@ -312,3 +312,54 @@ def translation_clusters(pages: DataFrame, html_col: str = "html") -> DataFrame:
         "cluster_id",
         F.coalesce("n_langs", F.lit(0)).alias("n_langs"),
     )
+
+
+# --- DOM template fingerprinting --------------------------------------------
+
+# Opening/closing tag names, attributes ignored: '</?([a-zA-Z0-9]+)'.
+# Shared verbatim with the DuckDB oracle.
+_TAG_RE = r"</?([a-zA-Z0-9]+)"
+
+
+def template_fingerprint(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, template_fp, n_tags) — md5 of the page's lowercased tag
+    SEQUENCE (attributes and text stripped). Pages rendered by the same
+    CMS template share the fingerprint even with entirely different
+    content — the structural-clustering signal template-aware boilerplate
+    removal (and template-spam detection) keys on, orthogonal to every
+    text-shingle method in datapipe/dedup.py (translations share a
+    template but no shingles; syndicated text shares shingles but not a
+    template).
+
+    Map-only: one codegen'd regexp_extract_all + array transform + md5,
+    no shuffle — runs inside the scan wave at any scale.
+    """
+    raw = F.decode(F.col(html_col), "UTF-8")
+    tags = F.transform(
+        F.regexp_extract_all(raw, F.lit(_TAG_RE), F.lit(1)),
+        lambda t: F.lower(t),
+    )
+    return pages.select(
+        "url",
+        F.md5(F.concat_ws(">", tags)).alias("template_fp"),
+        F.size(tags).alias("n_tags"),
+    )
+
+
+def template_stats(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Per-(host, template) accounting: (host, template_fp, n_pages,
+    n_tags). A host whose page count concentrates in one fingerprint is
+    a single-template site (usual); a template spanning MANY hosts is a
+    mirror/spam-farm signal. One hash agg over the fingerprint frame —
+    map-side combine collapses each host's pages before the shuffle."""
+    from graphiti_spark.datapipe.webstats import host_col
+
+    fp = template_fingerprint(pages, html_col)
+    return (
+        fp.withColumn("host", host_col(F.col("url")))
+        .groupBy("host", "template_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.max("n_tags").alias("n_tags"),
+        )
+    )
