@@ -2211,6 +2211,22 @@ _HREFLANG_SYNTH_SQL = """
     FROM documents"""
 
 
+def _q_effective_diameter(spark, sf_dir):
+    """Neighborhood-function curve from md5-selected BFS seeds
+    (graph_metrics.effective_diameter) over the supplier-part graph:
+    (hop, pairs first reached, cumulative pair fraction). Oracle:
+    recursive-CTE BFS from the identical seed set."""
+    from graphiti_spark.analytics.graph_metrics import effective_diameter
+
+    return effective_diameter(
+        _lineitem_graph(spark, sf_dir),
+        n_seeds=8,
+        max_hops=4,
+        src_col="source_node_uuid",
+        dst_col="target_node_uuid",
+    )
+
+
 def _q_template_stats(spark, sf_dir):
     """DOM template accounting (structured_data.template_stats): md5 of
     the lowercased tag sequence, aggregated per (host, template) over the
@@ -3606,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_edges": _q_link_graph_edges,
         "host_link_stats": _q_host_link_stats,
         "hits_hosts": _q_hits_hosts,
+        "effective_diameter": _q_effective_diameter,
         "template_stats": _q_template_stats,
         "hreflang_links": _q_hreflang_links,
         "translation_clusters": _q_translation_clusters,
@@ -5289,6 +5306,32 @@ def oracle_sql() -> dict[str, str]:
                    anchor, count(*) AS n
             FROM r WHERE dst_url IS NOT NULL AND trim(anchor) <> ''
             GROUP BY dst_host, anchor
+        """,
+        "effective_diameter": """
+            WITH RECURSIVE
+            e0 AS (SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS t
+                   FROM lineitem),
+            ue AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                   FROM e0 WHERE s <> t),
+            bid AS (SELECT a AS u, b AS v FROM ue UNION ALL SELECT b, a FROM ue),
+            nds AS (SELECT DISTINCT u AS z FROM bid),
+            nv AS (SELECT count(*) AS n FROM nds),
+            seeds AS (SELECT z FROM nds
+                      ORDER BY cast(concat('0x', substr(md5(z), 1, 15)) as bigint), z
+                      LIMIT 8),
+            ns AS (SELECT count(*) AS n FROM seeds),
+            r(seed, node, hop) AS (
+              SELECT z, z, 0 FROM seeds
+              UNION
+              SELECT r.seed, bid.v, r.hop + 1
+              FROM r JOIN bid ON r.node = bid.u WHERE r.hop < 4),
+            fst AS (SELECT seed, node, min(hop) AS hop FROM r GROUP BY seed, node),
+            hist AS (SELECT hop, count(*) AS reached FROM fst GROUP BY hop)
+            SELECT CAST(hop AS BIGINT) AS hop, reached,
+                   round(sum(reached) OVER (ORDER BY hop
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / (ns.n * nv.n), 6) AS cum_frac
+            FROM hist, ns, nv
         """,
         "template_stats": f"""
             WITH fp AS (

@@ -985,3 +985,88 @@ def degree_assortativity(
             F.when(F.col("den0") != 0, F.col("num0") / F.col("den0")), round_dp
         ).alias("assortativity"),
     )
+
+
+def effective_diameter(
+    edges: DataFrame,
+    n_seeds: int = 8,
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Neighborhood-function / effective-diameter estimate by exact BFS
+    from a deterministic seed sample — the ANF question (Palmer et al.
+    2002: "how many hops until most pairs are reached") answered with
+    md5-selected seeds instead of probabilistic counters, so every number
+    is exactly reproducible and SQL-restatable.
+
+    Seeds are the ``n_seeds`` nodes with the smallest md5(uuid) (an
+    unbiased deterministic sample — the repo-wide md5-order idiom).
+    Returns one row per hop: (hop, reached, cum_frac) where ``reached``
+    is the number of (seed, node) pairs first reached at exactly that
+    hop (hop 0 = the seeds themselves) and ``cum_frac`` the cumulative
+    fraction of the ``n_seeds * |V|`` pair space. The effective diameter
+    at quantile q is the smallest hop with cum_frac >= q — left to the
+    caller, since the whole curve is the useful artifact.
+
+    Scale shape: per hop one frontier-edge join + one per-seed visited
+    anti-join (both keyed on node id), frontier bounded by seeds x reach;
+    localCheckpoint truncates lineage per hop; early stop on an empty
+    frontier. The per-seed bookkeeping multiplies work by n_seeds — the
+    point of sampling seeds instead of running all-pairs.
+    """
+    if n_seeds < 1 or max_hops < 0:
+        raise ValueError("n_seeds must be >= 1 and max_hops >= 0")
+    from graphiti_spark.functions.hashing import md5_long_col
+
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    adj = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    nodes = adj.select(F.col("a").alias("z")).dropDuplicates()
+    n_nodes = nodes.count()
+    seeds = (
+        nodes.orderBy(md5_long_col(F.col("z")).asc(), F.col("z").asc())
+        .limit(n_seeds)
+        .select(F.col("z").alias("seed"))
+        .localCheckpoint(eager=True)
+    )
+    denom = float(seeds.count() * n_nodes)
+    visited = seeds.select("seed", F.col("seed").alias("node")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited
+    rows = [(0, visited.count())]
+    for hop in range(1, max_hops + 1):
+        new = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select("seed", F.col("b").alias("node"))
+            .dropDuplicates()
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        c = new.count()
+        if c == 0:
+            break
+        rows.append((hop, c))
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    out = spark.createDataFrame(rows, "hop: long, reached: long")
+    # the hop table is <= max_hops+1 driver-side rows; the single-partition
+    # window is over that tiny frame, never over distributed data
+    w_cum = F.sum("reached").over(
+        Window.orderBy("hop").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return out.select(
+        "hop",
+        "reached",
+        F.round(w_cum / F.lit(denom), round_dp).alias("cum_frac"),
+    )
