@@ -536,6 +536,76 @@ _IVF_TRAINED_SQL = f"""
 """
 
 
+def _l2_sql(a: str, b: str) -> str:
+    """Squared-L2 twin of simsearch._l2_col: sequential list_sum of
+    squared diffs (multiplication, not power(), for bit-parity with the
+    Spark fold)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), i -> "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _pq_sql(dim: int = 64, m: int = 2, ksub: int = 4, k: int = 20) -> str:
+    """DuckDB twin of _q_ann_pq_topk: md5-ordered seeds, one Lloyd round
+    per subspace (argmin squared-L2, ties->lower code, 6dp means, empty
+    cells keep centroids), PQ encode with the trained books, ADC top-k
+    against vec 0's query."""
+    dsub = dim // m
+    ctes = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        """s0 AS (SELECT row_number() OVER (ORDER BY h, vid) - 1 AS cid, cv FROM
+             (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id AS vid,
+                     embedding AS cv
+              FROM embeddings ORDER BY 1, 2 LIMIT %d))""" % ksub,
+    ]
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        sl = f"e.embedding[{lo}:{hi}]"
+        ctes += [
+            f"b{j}_0 AS (SELECT cid, CAST(cv[{lo}:{hi}] AS DOUBLE[]) AS cv FROM s0)",
+            f"""a{j} AS (SELECT e.vec_id, e.embedding, c.cid,
+                  {_l2_sql(sl, "c.cv")} AS d
+                FROM embeddings e CROSS JOIN b{j}_0 c)""",
+            f"""w{j} AS (SELECT vec_id, embedding, cid FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d ASC, cid) AS rn FROM a{j})
+                WHERE rn = 1)""",
+            f"""m{j} AS (SELECT cid, idx, round(avg(CAST(val AS DOUBLE)), 6) AS mv
+                FROM (SELECT cid, unnest(embedding[{lo}:{hi}]) AS val,
+                        generate_subscripts(embedding[{lo}:{hi}], 1) AS idx
+                      FROM w{j})
+                GROUP BY cid, idx)""",
+            f"g{j} AS (SELECT cid, list(mv ORDER BY idx) AS cv FROM m{j} GROUP BY cid)",
+            f"""t{j} AS (SELECT p.cid, coalesce(g{j}.cv, p.cv) AS cv
+                FROM b{j}_0 p LEFT JOIN g{j} USING (cid))""",
+            f"""enc{j} AS (SELECT vec_id, cid FROM
+                  (SELECT e.vec_id, c.cid, row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_l2_sql(sl, "c.cv")} ASC, c.cid) AS rn
+                   FROM embeddings e CROSS JOIN t{j} c)
+                WHERE rn = 1)""",
+            f"""lut{j} AS (SELECT c.cid, {_l2_sql(f"q.qv[{lo}:{hi}]", "c.cv")} AS l
+                FROM t{j} c CROSS JOIN q)""",
+        ]
+    dist = " + ".join(f"l{j}.l" for j in range(m))
+    joins = " ".join(
+        f"JOIN enc{j} ON enc{j}.vec_id = e.vec_id"
+        f" JOIN lut{j} l{j} ON l{j}.cid = enc{j}.cid"
+        for j in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT vec_id, adc_dist FROM (
+          SELECT e.vec_id, round({dist}, 6) AS adc_dist
+          FROM (SELECT DISTINCT vec_id FROM embeddings) e {joins}
+          ORDER BY adc_dist ASC, e.vec_id LIMIT {k})"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # loaders + pipeline cache
 # ---------------------------------------------------------------------------
@@ -1046,6 +1116,19 @@ def _q_ann_ivf_trained_topk(spark, sf_dir):
     cents = train_ivf_centroids(emb, k=4, n_iter=2)
     out = ivf_topk(emb, cents, _query_vec(spark, sf_dir), k=20, n_probe=2)
     return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC search (simsearch.train_pq_codebooks +
+    pq_topk): deterministic per-subspace Lloyd (md5 seeds, 1 round, 6dp
+    means), m=2 x ksub=4 codes, asymmetric-distance top-20 — the FAISS
+    IVF's compression half. Oracle: the full train/encode/ADC chain
+    restated in SQL (_pq_sql)."""
+    from graphiti_spark.datapipe.simsearch import pq_topk, train_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, dim=64, m=2, ksub=4, n_iter=1)
+    return pq_topk(emb, books, _query_vec(spark, sf_dir), k=20)
 
 
 def _q_text_profile(spark, sf_dir):
@@ -3596,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_trained_topk": _q_ann_ivf_trained_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         # --- text analysis ---
         "text_profile": _q_text_profile,
         "lang_scores": _q_lang_scores,
@@ -4033,6 +4117,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **golden,
         "ann_ivf_trained_topk": _IVF_TRAINED_SQL,
+        "ann_pq_topk": _pq_sql(64, 2, 4, 20),
         "ann_ivf_topk": f"""
             WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id IN (0,1,2,3)),
             q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -199,3 +199,170 @@ def ivf_topk(
         F.col(id_col), cosine_col(F.col(vec_col), _query_lit(query_vector)).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+# --- product quantization (PQ) ----------------------------------------------
+
+
+def _sub_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """Subspace [start, len] (1-based starts for F.slice) for m equal
+    splits of a dim-length vector; dim must divide evenly (FAISS rule)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    return [(j * d + 1, d) for j in range(m)]
+
+
+def _l2_col(slice_col, centroid: list[float]):
+    """Squared L2 distance between a vector slice and a literal centroid,
+    evaluated in fixed left-to-right order (engine-portable floats)."""
+    return F.aggregate(
+        F.zip_with(
+            slice_col,
+            _query_lit(centroid),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook training (Jegou et al. 2011 "Product
+    quantization for nearest neighbor search"): split the vector into
+    ``m`` equal subspaces and run the same deterministic Lloyd used by
+    train_ivf_centroids independently per subspace — L2 metric (the PQ
+    paper's), seeds = the ksub rows with smallest (md5(id), id) (the
+    SAME seed rows for every subspace — one global order, engine-
+    reproducible), assignment = argmin squared-L2 with ties to the LOWER
+    code, means rounded to ``decimals`` per iteration, empty cells keep
+    their centroid. Returns codebooks[m][ksub][dim/m] driver-side (the
+    ivf_* API contract: quantizers are tiny and broadcast as literals).
+
+    Scale shape per iteration per subspace: one materialized ksub-distance
+    array projection + one groupBy (code, dim) mean — the corpus is read
+    once per iteration with all m subspaces' aggregations sharing the
+    scan (column-pruned to the vector column)."""
+    from graphiti_spark.session import widen_if_narrow
+
+    embeddings = widen_if_narrow(embeddings, id_col)
+    bounds = _sub_bounds(dim, m)
+    seed_rows = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(ksub)
+        .collect()
+    )
+    books: list[list[list[float]]] = []
+    for start, ln in bounds:
+        books.append(
+            [[float(x) for x in r["_v"][start - 1 : start - 1 + ln]] for r in seed_rows]
+        )
+    for _ in range(n_iter):
+        enc = pq_encode(embeddings, books, dim, id_col=id_col, vec_col=vec_col)
+        new_books: list[list[list[float]]] = []
+        for j, (start, ln) in enumerate(bounds):
+            rows = (
+                enc.select(
+                    F.element_at("pq_codes", j + 1).alias("_c"),
+                    F.posexplode(F.slice(F.col(vec_col), start, ln)).alias(
+                        "pos", "val"
+                    ),
+                )
+                .groupBy("_c", "pos")
+                .agg(
+                    F.round(F.avg(F.col("val").cast("double")), decimals).alias("m")
+                )
+                .collect()
+            )
+            by_code: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_code.setdefault(r["_c"], {})[r["pos"]] = float(r["m"])
+            new_books.append(
+                [
+                    [by_code[c][p] for p in range(ln)] if c in by_code else books[j][c]
+                    for c in range(ksub)
+                ]
+            )
+        books = new_books
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` sub-codes: (id, vec, pq_codes) with
+    pq_codes[j] = argmin_c L2(sub_j(vec), codebooks[j][c]), ties to the
+    lower code (first-minimum position — the ivf_assign convention).
+    Storage per vector drops from dim floats to m bytes — the compression
+    that lets a 10^12-vector index live in executor memory. Map-only."""
+    bounds = _sub_bounds(dim, len(codebooks))
+    code_cols = []
+    for j, (start, ln) in enumerate(bounds):
+        sl = F.slice(F.col(vec_col), start, ln)
+        dists = F.array(*[_l2_col(sl, c) for c in codebooks[j]])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)).cast("int") - 1).alias(
+                f"_c{j}"
+            )
+        )
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), F.array(*code_cols).alias("pq_codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact; every
+    corpus vector is its PQ code; distance = sum over subspaces of the
+    precomputed LUT entry lut[j][code_j] with
+    lut[j][c] = L2(sub_j(query), codebooks[j][c]). Returns (id, adc_dist)
+    ascending — the smaller the closer.
+
+    Scale shape: encode is map-only; the m LUTs are m*ksub literal
+    doubles folded into the projection (constant-folded by Catalyst);
+    top-k is the TakeOrdered physical op (per-partition heaps + driver
+    merge of k rows), never a full sort."""
+    m = len(codebooks)
+    bounds = _sub_bounds(len(query_vector), m)
+    enc = pq_encode(embeddings, codebooks, len(query_vector), id_col, vec_col)
+    luts = []
+    for j, (start, ln) in enumerate(bounds):
+        q = query_vector[start - 1 : start - 1 + ln]
+        luts.append(
+            [
+                sum((float(q[d]) - c[d]) * (float(q[d]) - c[d]) for d in range(ln))
+                for c in codebooks[j]
+            ]
+        )
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            _query_lit(luts[j]), F.element_at("pq_codes", j + 1) + 1
+        )
+        dist = term if dist is None else dist + term
+    return (
+        enc.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
