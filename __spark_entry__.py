@@ -851,6 +851,49 @@ def _q_graph_at_snapshot(spark, sf_dir):
     return out.select("event_id")
 
 
+def _q_pattern_two_hop(spark, sf_dir):
+    """SPARQL-BGP triple-pattern matching (operators/pattern.
+    match_pattern): the co-support pattern (?a SUPPORTS ?x, ?b SUPPORTS
+    ?x), a < b, distinct bindings over the canonical graph. Oracle: the
+    equivalent self-join in SQL over the pinned kg_edges golden."""
+    from graphiti_spark.operators.pattern import match_pattern
+
+    out = _pipeline(spark, sf_dir)
+    m = match_pattern(
+        out["edges"],
+        [("?a", "SUPPORTS", "?x"), ("?b", "SUPPORTS", "?x")],
+    )
+    return m.filter(F.col("a") < F.col("b")).dropDuplicates(["a", "b", "x"]).select(
+        "a", "b", "x"
+    )
+
+
+def _q_fact_confidence(spark, sf_dir):
+    """Recency-decayed fact confidence (operators/temporal.
+    fact_confidence): half-life scoring of the facts still true at the
+    snapshot, over the contradiction-invalidated events timeline.
+    Oracle: lead() window + the identical pow(0.5, age/half_life)."""
+    from graphiti_spark.operators.temporal import (
+        fact_confidence,
+        invalidate_contradictions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.lit("g").alias("group_id"),
+        F.col("user_id").cast("string").alias("source_node_uuid"),
+        F.col("event_type").alias("name"),
+        F.col("event_id").cast("string").alias("target_node_uuid"),
+        F.col("ts").alias("valid_at"),
+        F.lit(None).cast("timestamp").alias("invalid_at"),
+        "event_id",
+    )
+    out = fact_confidence(
+        invalidate_contradictions(edges), "2024-06-15 00:00:00", half_life_days=30.0
+    )
+    return out.select("event_id", "confidence")
+
+
 def _q_snapshot_churn(spark, sf_dir):
     """Edge churn between two bi-temporal snapshots (operators/temporal.
     snapshot_churn): per relation, facts added / removed / retained
@@ -3727,6 +3770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pmi": _q_entity_pmi,
         "rdf_ntriples": _q_rdf_ntriples,
         "neo4j_csv_rows": _q_neo4j_csv_rows,
+        "pattern_two_hop": _q_pattern_two_hop,
+        "fact_confidence": _q_fact_confidence,
         "snapshot_churn": _q_snapshot_churn,
         "degree_assortativity": _q_degree_assortativity,
         "containment_pairs": _q_containment_pairs,
@@ -4170,6 +4215,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id FROM inv
             WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
               AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-01-15 00:00:00')
+        """,
+        "pattern_two_hop": f"""
+            WITH e AS (SELECT source_node_uuid AS s, target_node_uuid AS o
+                       FROM read_parquet('{_GOLDEN_DIR}/kg_edges.parquet')
+                       WHERE name = 'SUPPORTS')
+            SELECT DISTINCT a.s AS a, b.s AS b, a.o AS x
+            FROM e a JOIN e b ON a.o = b.o AND a.s < b.s
+        """,
+        "fact_confidence": """
+            WITH e AS (
+              SELECT event_id, ts,
+                     lead(ts) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, CAST(event_id AS VARCHAR)) AS nxt
+              FROM events),
+            inv AS (SELECT event_id, ts,
+                           CASE WHEN nxt IS NOT NULL AND nxt > ts THEN nxt END AS invalid_at
+                    FROM e)
+            SELECT event_id,
+                   round(power(0.5,
+                     ((epoch_us(TIMESTAMP '2024-06-15 00:00:00') - epoch_us(ts))
+                      / (86400.0 * 1e6)) / 30.0), 6) AS confidence
+            FROM inv
+            WHERE ts <= TIMESTAMP '2024-06-15 00:00:00'
+              AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-06-15 00:00:00')
         """,
         "snapshot_churn": """
             WITH e AS (

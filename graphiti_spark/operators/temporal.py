@@ -119,3 +119,34 @@ def snapshot_churn(
         F.sum(F.when(F.col("in_a") & ~F.col("in_b"), 1).otherwise(0)).alias("removed"),
         F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)).alias("retained"),
     )
+
+
+def fact_confidence(
+    edges: DataFrame,
+    as_of: str,
+    half_life_days: float = 90.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Recency-decayed fact confidence: score each edge STILL TRUE at
+    ``as_of`` by exponential decay of its age,
+
+        confidence = 0.5 ^ (age_days / half_life_days)
+
+    with age measured from ``valid_at``. The deterministic batch analogue
+    of the reference's recency term in RelevanceScorer (rust services,
+    relevance feedback ranks memories by recency + usage): downstream
+    consumers rank or prune stale facts without mutating the bi-temporal
+    record. Pure map over the point-in-time slice (graph_at) — predicate
+    pushdown plus one codegen'd pow(); zero shuffles.
+
+    Returns the surviving edges with an added ``confidence`` column.
+    """
+    t = F.to_timestamp(F.lit(as_of))
+    live = graph_at(edges, as_of)
+    age_days = (
+        F.unix_micros(t) - F.unix_micros(F.col("valid_at"))
+    ).cast("double") / F.lit(86400.0 * 1e6)
+    return live.withColumn(
+        "confidence",
+        F.round(F.pow(F.lit(0.5), age_days / F.lit(half_life_days)), round_dp),
+    )
