@@ -851,6 +851,25 @@ def _q_graph_at_snapshot(spark, sf_dir):
     return out.select("event_id")
 
 
+def _q_politeness_plan(spark, sf_dir):
+    """Per-host politeness crawl scheduling (datapipe/frontier.
+    politeness_plan): 3 fetch slots per host per wave over a 20-host
+    synthetic frontier. Oracle: the identical per-host row_number window
+    in SQL."""
+    from graphiti_spark.datapipe.frontier import politeness_plan
+
+    d = _t(spark, sf_dir, "documents")
+    f = d.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return politeness_plan(f, slots_per_wave=3).select("url", "host", "wave")
+
+
 def _q_pattern_two_hop(spark, sf_dir):
     """SPARQL-BGP triple-pattern matching (operators/pattern.
     match_pattern): the co-support pattern (?a SUPPORTS ?x, ?b SUPPORTS
@@ -3770,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pmi": _q_entity_pmi,
         "rdf_ntriples": _q_rdf_ntriples,
         "neo4j_csv_rows": _q_neo4j_csv_rows,
+        "politeness_plan": _q_politeness_plan,
         "pattern_two_hop": _q_pattern_two_hop,
         "fact_confidence": _q_fact_confidence,
         "snapshot_churn": _q_snapshot_churn,
@@ -4215,6 +4235,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id FROM inv
             WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
               AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-01-15 00:00:00')
+        """,
+        "politeness_plan": """
+            WITH f AS (SELECT concat('https://h', CAST(doc_id % 20 AS VARCHAR),
+                              '.com/p', CAST(doc_id AS VARCHAR)) AS url
+                       FROM documents),
+            h AS (SELECT url, regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+                  FROM f)
+            SELECT url, host,
+                   CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1) // 3
+                        AS BIGINT) AS wave
+            FROM h
         """,
         "pattern_two_hop": f"""
             WITH e AS (SELECT source_node_uuid AS s, target_node_uuid AS o

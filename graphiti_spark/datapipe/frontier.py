@@ -85,3 +85,48 @@ def bloom_unseen(
         crawled.select(key_col).dropDuplicates(), key_col, "left_anti"
     )
     return definitely_new.unionByName(survivors)
+
+
+def politeness_plan(
+    frontier: DataFrame,
+    url_col: str = "url",
+    slots_per_wave: int = 1,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Assign frontier URLs to crawl WAVES under per-host politeness: at
+    most ``slots_per_wave`` fetches per host per wave — the scheduling
+    layer every polite crawler (and RFC 9309's crawl-delay spirit) needs
+    between "what to fetch" (bloom_unseen + robots gate) and the fetch
+    fleet itself.
+
+    Returns (url, host, wave) with wave = 0-based; within a host, URLs
+    order by ``priority_col`` descending when given (e.g. host PageRank
+    or frontier depth) else by URL ascending — deterministic either way.
+
+    Scale shape: one window partitioned BY HOST (the crawl's natural
+    key; a host's queue is bounded by its own URL count, so the window
+    never sees the corpus) + one integer division. Wave k's fetch list
+    is then a pushdown-able ``wave = k`` predicate. Hot hosts with
+    millions of queued URLs produce many waves, not a hot partition —
+    the row set per (host, wave) is capped at slots_per_wave.
+    """
+    if slots_per_wave < 1:
+        raise ValueError(f"slots_per_wave must be >= 1, got {slots_per_wave}")
+    from pyspark.sql import Window
+
+    from graphiti_spark.datapipe.webstats import host_col
+
+    order = (
+        [F.desc(priority_col), F.asc(url_col)]
+        if priority_col
+        else [F.asc(url_col)]
+    )
+    w = Window.partitionBy("host").orderBy(*order)
+    return (
+        frontier.withColumn("host", host_col(F.col(url_col)))
+        .withColumn(
+            "wave",
+            ((F.row_number().over(w) - 1) / slots_per_wave).cast("long"),
+        )
+        .select(url_col, "host", "wave")
+    )
