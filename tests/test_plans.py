@@ -245,3 +245,54 @@ def test_plan_weighted_sample_keys_are_codegen_no_python(spark):
     df = _curation_docs(spark).withColumn("w", F.length("text").cast("double"))
     plan = _plan(weighted_sample_k(df, k=5, weight_col="w", strata_col="url"))
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_plan_hearst_and_quotes_are_map_only(spark):
+    from graphiti_spark.operators.hearst import extract_hypernyms
+
+    d = spark.createDataFrame([(1, "companies such as Acme win.")], ["doc_id", "text"])
+    plan = _plan(extract_hypernyms(d))
+    assert "Exchange" not in plan  # fused into the scan wave
+    assert "BatchEvalPython" not in plan  # JVM regexps, no Python
+
+
+def test_plan_cms_estimate_broadcasts_sketch(spark):
+    from graphiti_spark.datapipe.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",), ("b",)], ["k"])
+    sketch = cms_build(df, "k", depth=2, width=8)
+    plan = _plan(cms_estimate(sketch, df, "k", depth=2, width=8))
+    assert "BroadcastHashJoin" in plan  # the tiny sketch ships, keys don't shuffle
+
+
+def test_plan_pq_topk_is_take_ordered_no_python(spark):
+    from graphiti_spark.datapipe.simsearch import pq_topk
+
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0], [0.0, 0.0]]]
+    df = spark.createDataFrame([(1, [0.1, 0.1, 1.9, 2.0])], ["vec_id", "embedding"])
+    plan = _plan(pq_topk(df, books, [0.0, 0.0, 1.0, 1.0], k=5))
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+    assert "BatchEvalPython" not in plan  # codebook LUTs fold into codegen
+
+
+def test_plan_pattern_constant_predicate_pushdown(spark, tmp_path):
+    from graphiti_spark.operators.pattern import match_pattern
+
+    p = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [("a", "R1", "b"), ("b", "R2", "c")],
+        ["source_node_uuid", "name", "target_node_uuid"],
+    ).write.parquet(p)
+    edges = spark.read.parquet(p)
+    plan = _plan(match_pattern(edges, [("?x", "R1", "?y"), ("?y", "R2", "?z")]))
+    # the relation constants reach the parquet scan as pushed filters
+    assert "PushedFilters: [IsNotNull(name), EqualTo(name,R1)" in plan
+
+
+def test_plan_neo4j_csv_and_template_fp_map_only(spark):
+    from graphiti_spark.operators.structured_data import template_fingerprint
+
+    pages = spark.createDataFrame(
+        [("u", bytearray(b"<html><body>x</body></html>"))], ["url", "html"]
+    )
+    assert "Exchange" not in _plan(template_fingerprint(pages))
