@@ -2449,6 +2449,40 @@ def _q_textrank_keywords(spark, sf_dir):
     )
 
 
+def _q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain pointer jumping (webgraph.resolve_redirects) over a
+    deterministic chain corpus (u_i -> u_{i-1}, terminals at multiples of
+    5). Oracle: the closed-form final target u_{i - i%5} — an INDEPENDENT
+    arithmetic derivation, no pointer replay."""
+    from graphiti_spark.datapipe.webgraph import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents")
+    r = d.filter(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.lit("https://r.com/u"), F.col("doc_id").cast("string")).alias(
+            "src_url"
+        ),
+        F.concat(
+            F.lit("https://r.com/u"), (F.col("doc_id") - 1).cast("string")
+        ).alias("dst_url"),
+    )
+    return resolve_redirects(r).select("url", "final_url", "is_cycle")
+
+
+def _q_anchor_alias_pairs(spark, sf_dir):
+    """Anchor-text alias mining (webgraph.anchor_alias_pairs): surface
+    forms co-anchoring the same target become ER alias-pair evidence,
+    df-cut + per-target cap. Oracle: the anchor harvest restatement plus
+    the identical window/self-join/agg."""
+    from graphiti_spark.datapipe.webgraph import anchor_alias_pairs, anchor_text_stats
+    from graphiti_spark.synth import pages_from_documents
+
+    stats = anchor_text_stats(pages_from_documents(spark, sf_dir))
+    out = anchor_alias_pairs(stats, min_count=2, per_target_cap=50)
+    return out.select(
+        "alias_a", "alias_b", F.col("n_targets").cast("long").alias("n_targets")
+    )
+
+
 def _q_cocitation_hosts(spark, sf_dir):
     """Co-citation related hosts (webgraph.cocitation_pairs): destination
     hosts sharing >= 2 linking sources, cosine-normalized by in-degree.
@@ -3774,6 +3808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translation_clusters": _q_translation_clusters,
         "type_propagation": _q_type_propagation,
         "textrank_keywords": _q_textrank_keywords,
+        "resolve_redirects": _q_resolve_redirects,
+        "anchor_alias_pairs": _q_anchor_alias_pairs,
         "cocitation_hosts": _q_cocitation_hosts,
         "coupling_hosts": _q_coupling_hosts,
         "host_tld_modularity": _q_host_tld_modularity,
@@ -5534,6 +5570,45 @@ def oracle_sql() -> dict[str, str]:
         "translation_clusters": _translation_clusters_oracle_sql(),
         "type_propagation": _type_prop_sql(3),
         "textrank_keywords": _textrank_sql(2, 5, 5),
+        "resolve_redirects": """
+            SELECT concat('https://r.com/u', CAST(doc_id AS VARCHAR)) AS url,
+                   concat('https://r.com/u',
+                          CAST(doc_id - doc_id % 5 AS VARCHAR)) AS final_url,
+                   false AS is_cycle
+            FROM documents WHERE doc_id % 5 <> 0
+        """,
+        "anchor_alias_pairs": f"""
+            WITH el AS (
+              SELECT regexp_extract(url, '{_HOST_RE_SQL}', 1) AS src_host,
+                     unnest(regexp_extract_all(html,
+                       '<a href="([^"]*)">([^<]*)</a>', 0)) AS elem
+              FROM read_parquet('{_GOLDEN_DIR}/kg_pages.parquet')),
+            p AS (SELECT src_host,
+                    regexp_extract(elem, '<a href="([^"]*)">([^<]*)</a>', 1) AS href,
+                    regexp_extract(elem, '<a href="([^"]*)">([^<]*)</a>', 2) AS anchor
+                  FROM el),
+            r AS (SELECT
+                    CASE WHEN regexp_matches(href, '^https?://') THEN href
+                         WHEN href LIKE '//%' THEN NULL
+                         WHEN href LIKE '/%' THEN concat('https://', src_host, href)
+                         ELSE NULL END AS dst_url,
+                    anchor
+                  FROM p),
+            stats AS (SELECT regexp_extract(dst_url, '{_HOST_RE_SQL}', 1) AS dst_host,
+                             anchor, count(*) AS n
+                      FROM r WHERE dst_url IS NOT NULL AND trim(anchor) <> ''
+                      GROUP BY dst_host, anchor),
+            kept AS (SELECT dst_host, anchor FROM (
+                       SELECT *, row_number() OVER (PARTITION BY dst_host
+                         ORDER BY n DESC, anchor) AS rn
+                       FROM stats WHERE n >= 2)
+                     WHERE rn <= 50)
+            SELECT a.anchor AS alias_a, b.anchor AS alias_b,
+                   count(DISTINCT a.dst_host) AS n_targets
+            FROM kept a JOIN kept b
+              ON a.dst_host = b.dst_host AND a.anchor < b.anchor
+            GROUP BY a.anchor, b.anchor
+        """,
         "cocitation_hosts": f"""
             WITH {_HOST_LINKS_CTES},
             e AS (SELECT DISTINCT src_host AS k, dst_host AS v

@@ -280,3 +280,106 @@ def coupling_pairs(
         .dropDuplicates()
     )
     return _shared_neighbor_pairs(e, "k", "v", df_cap, min_common)
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    max_iter: int = 6,
+) -> DataFrame:
+    """Collapse HTTP redirect chains to their final targets by pointer
+    jumping: (url, final_url, is_cycle). A crawl's 3xx edges form a
+    functional graph (one outgoing redirect per URL — enforced by
+    dropping duplicate sources deterministically, min dst wins); chains
+    a -> b -> c -> d resolve so every member points at d directly — the
+    canonicalization step that must run BEFORE URL-level dedup or the
+    link graph, or syndicated redirects fragment both.
+
+    Pointer jumping doubles the resolved distance per round (p[u] <-
+    p[p[u]]), so ``max_iter`` rounds resolve chains up to length
+    2^max_iter — 6 rounds cover length-64 chains, far past the 5-hop
+    limit real crawlers enforce. Cycles (a -> b -> a) cannot terminate:
+    after the rounds their pointer still lands on a REDIRECTING url —
+    that is the detection rule — and the row is flagged ``is_cycle``
+    (final_url is then some member of the cycle, state-dependent and
+    meaningless; downstream drops flagged rows, since a redirect cycle
+    serves no content).
+
+    Scale shape: each round is ONE self-join of the pointer table on the
+    current target key (size = number of redirecting URLs, a small
+    fraction of the corpus) + localCheckpoint lineage cut. log2(chain)
+    shuffles total — the textbook reason pointer jumping, not row-at-a-
+    time chasing, is how a 10^12-URL crawl resolves redirects.
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    ptr = (
+        redirects.select(F.col(src_col).alias("u"), F.col(dst_col).alias("p"))
+        .filter(F.col("u") != F.col("p"))
+        .groupBy("u")
+        .agg(F.min("p").alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    base = ptr
+    for _ in range(max_iter):
+        hop = base.select(F.col("u").alias("_u2"), F.col("p").alias("_p2"))
+        nxt = (
+            ptr.join(hop, ptr["p"] == hop["_u2"], "left")
+            .select("u", F.coalesce("_p2", "p").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.exceptAll(ptr).isEmpty():
+            ptr = nxt
+            break
+        ptr = nxt
+    # a pointer that STILL lands on a redirecting url after the rounds is
+    # inside a cycle (otherwise it would have escaped to a non-source)
+    srcs = base.select(F.col("u").alias("_s"))
+    out = ptr.join(srcs, ptr["p"] == srcs["_s"], "left").select(
+        F.col("u").alias("url"),
+        F.col("p").alias("final_url"),
+        F.col("_s").isNotNull().alias("is_cycle"),
+    )
+    return out
+
+
+def anchor_alias_pairs(
+    anchors: DataFrame,
+    min_count: int = 2,
+    per_target_cap: int = 50,
+) -> DataFrame:
+    """Alias candidate pairs from anchor-text co-reference: two surface
+    forms that the web uses to link the SAME target are alias candidates
+    ("IBM" and "International Business Machines" both anchoring
+    ibm.example.com) — the classic external-alias ER signal, here turned
+    into (alias_a, alias_b, n_targets) pair evidence ready for
+    er.duplicate_pairs_stage's kb_aliases input (the sameAs tier).
+
+    Input is anchor_text_stats output (dst_host, anchor, n). Anchors
+    below ``min_count`` per target drop first (typo hygiene); targets
+    keep only their ``per_target_cap`` most-frequent anchors (ties by
+    anchor ascending) before the within-target pair join — a mega-hub
+    with 10^5 distinct anchor texts ("click here" spam) would otherwise
+    fan out O(10^10) pairs. One window per target + one self-join keyed
+    on the target + one pair agg.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("anchor"))
+    kept = (
+        anchors.filter(F.col("n") >= min_count)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= per_target_cap)
+        .select("dst_host", "anchor")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, "dst_host")
+        .filter(F.col("a.anchor") < F.col("b.anchor"))
+        .groupBy(
+            F.col("a.anchor").alias("alias_a"),
+            F.col("b.anchor").alias("alias_b"),
+        )
+        .agg(F.count_distinct("dst_host").alias("n_targets"))
+    )
