@@ -2468,15 +2468,35 @@ def _q_resolve_redirects(spark, sf_dir):
     return resolve_redirects(r).select("url", "final_url", "is_cycle")
 
 
+_ALIAS_FORMS = ["ACME", "Acme Corp", "Acme Corporation"]
+
+
 def _q_anchor_alias_pairs(spark, sf_dir):
     """Anchor-text alias mining (webgraph.anchor_alias_pairs): surface
     forms co-anchoring the same target become ER alias-pair evidence,
-    df-cut + per-target cap. Oracle: the anchor harvest restatement plus
-    the identical window/self-join/agg."""
-    from graphiti_spark.datapipe.webgraph import anchor_alias_pairs, anchor_text_stats
-    from graphiti_spark.synth import pages_from_documents
+    df-cut + per-target cap — over a synthesized anchor-stats corpus
+    (the golden pages link each host under ONE anchor text, so the real
+    harvest has no alias signal to mine; the quote_attribution pattern
+    applies). Oracle: identical synthesis + window/self-join/agg."""
+    from graphiti_spark.datapipe.webgraph import anchor_alias_pairs
 
-    stats = anchor_text_stats(pages_from_documents(spark, sf_dir))
+    d = _t(spark, sf_dir, "documents")
+    m3 = F.col("doc_id") % 3
+    form = (
+        F.when(m3 == 0, F.lit(_ALIAS_FORMS[0]))
+        .when(m3 == 1, F.lit(_ALIAS_FORMS[1]))
+        .otherwise(F.lit(_ALIAS_FORMS[2]))
+    )
+    stats = (
+        d.select(
+            F.concat(
+                F.lit("t"), (F.col("doc_id") % 40).cast("string"), F.lit(".com")
+            ).alias("dst_host"),
+            form.alias("anchor"),
+        )
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     out = anchor_alias_pairs(stats, min_count=2, per_target_cap=50)
     return out.select(
         "alias_a", "alias_b", F.col("n_targets").cast("long").alias("n_targets")
@@ -5577,27 +5597,14 @@ def oracle_sql() -> dict[str, str]:
                    false AS is_cycle
             FROM documents WHERE doc_id % 5 <> 0
         """,
-        "anchor_alias_pairs": f"""
-            WITH el AS (
-              SELECT regexp_extract(url, '{_HOST_RE_SQL}', 1) AS src_host,
-                     unnest(regexp_extract_all(html,
-                       '<a href="([^"]*)">([^<]*)</a>', 0)) AS elem
-              FROM read_parquet('{_GOLDEN_DIR}/kg_pages.parquet')),
-            p AS (SELECT src_host,
-                    regexp_extract(elem, '<a href="([^"]*)">([^<]*)</a>', 1) AS href,
-                    regexp_extract(elem, '<a href="([^"]*)">([^<]*)</a>', 2) AS anchor
-                  FROM el),
-            r AS (SELECT
-                    CASE WHEN regexp_matches(href, '^https?://') THEN href
-                         WHEN href LIKE '//%' THEN NULL
-                         WHEN href LIKE '/%' THEN concat('https://', src_host, href)
-                         ELSE NULL END AS dst_url,
-                    anchor
-                  FROM p),
-            stats AS (SELECT regexp_extract(dst_url, '{_HOST_RE_SQL}', 1) AS dst_host,
-                             anchor, count(*) AS n
-                      FROM r WHERE dst_url IS NOT NULL AND trim(anchor) <> ''
-                      GROUP BY dst_host, anchor),
+        "anchor_alias_pairs": """
+            WITH stats AS (
+              SELECT concat('t', CAST(doc_id % 40 AS VARCHAR), '.com') AS dst_host,
+                     CASE doc_id % 3 WHEN 0 THEN 'ACME'
+                          WHEN 1 THEN 'Acme Corp'
+                          ELSE 'Acme Corporation' END AS anchor,
+                     count(*) AS n
+              FROM documents GROUP BY 1, 2),
             kept AS (SELECT dst_host, anchor FROM (
                        SELECT *, row_number() OVER (PARTITION BY dst_host
                          ORDER BY n DESC, anchor) AS rn

@@ -323,7 +323,11 @@ def resolve_redirects(
     )
     base = ptr
     for _ in range(max_iter):
-        hop = base.select(F.col("u").alias("_u2"), F.col("p").alias("_p2"))
+        # true doubling: compose the CURRENT pointer table with itself
+        # (composing with the original one-step table would advance only
+        # one hop per round — path chasing, the thing this op exists to
+        # avoid)
+        hop = ptr.select(F.col("u").alias("_u2"), F.col("p").alias("_p2"))
         nxt = (
             ptr.join(hop, ptr["p"] == hop["_u2"], "left")
             .select("u", F.coalesce("_p2", "p").alias("p"))
