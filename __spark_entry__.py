@@ -3577,6 +3577,51 @@ def _q_fuzzy_dedup_corpus(spark, sf_dir):
     return keep_canonical(docs, pairs.select("id_a", "id_b"))
 
 
+def _q_streaming_cms(spark, sf_dir):
+    """Streaming Count-Min sketch e2e (streaming/sketches.cms_stream):
+    lineitem supplier keys streamed through the stateful counter agg;
+    the materialized update-mode state IS the batch sketch, so the
+    oracle is cms_build_sql verbatim — the mergeability property as a
+    correctness row. Multi-batch + restart pinned by
+    tests/test_streaming_sketches.py."""
+    import tempfile
+
+    from graphiti_spark.streaming.sketches import cms_stream
+
+    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("string").alias("k")
+    ).coalesce(2).write.mode("overwrite").parquet(f"{tmp}/keys")
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/keys")
+    )
+    state: dict = {}
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            cms_stream(stream, "k", depth=4, width=256)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda b, e: state.update(
+                    {(r["row"], r["bucket"]): r["cnt"] for r in b.collect()}
+                )
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    return spark.createDataFrame(
+        [(r, b, c) for (r, b), c in sorted(state.items())],
+        "row long, bucket long, cnt long",
+    )
+
+
 def _q_streaming_dedup(spark, sf_dir):
     """Streaming first-occurrence exact dedup e2e (streaming/dedup.py):
     documents streamed through applyInPandasWithState, one emission per
@@ -3902,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- stateful streaming (applyInPandasWithState e2e) ---
         "streaming_entity_state": _q_streaming_entity_state,
         "fuzzy_dedup_corpus": _q_fuzzy_dedup_corpus,
+        "streaming_cms": _q_streaming_cms,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_windows": _q_streaming_windows,
     }
@@ -5679,6 +5725,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
         """,
+        "streaming_cms": cms_build_sql("lineitem", "l_suppkey", 4, 256),
         "streaming_dedup": """
             SELECT md5(text) AS content_md5,
                    min(CAST(doc_id AS VARCHAR)) AS keeper_id,
