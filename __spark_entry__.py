@@ -2356,6 +2356,24 @@ _HREFLANG_SYNTH_SQL = """
     FROM documents"""
 
 
+def _q_degree_distribution(spark, sf_dir):
+    """Undirected degree histogram + CCDF (graph_metrics.
+    degree_distribution) over the supplier-part graph — all-integer, so
+    the oracle is exact. Oracle: histogram + running-sum window in SQL."""
+    from graphiti_spark.analytics.graph_metrics import degree_distribution
+
+    out = degree_distribution(
+        _lineitem_graph(spark, sf_dir),
+        src_col="source_node_uuid",
+        dst_col="target_node_uuid",
+    )
+    return out.select(
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+    )
+
+
 def _q_effective_diameter(spark, sf_dir):
     """Neighborhood-function curve from md5-selected BFS seeds
     (graph_metrics.effective_diameter) over the supplier-part graph:
@@ -3867,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_edges": _q_link_graph_edges,
         "host_link_stats": _q_host_link_stats,
         "hits_hosts": _q_hits_hosts,
+        "degree_distribution": _q_degree_distribution,
         "effective_diameter": _q_effective_diameter,
         "template_stats": _q_template_stats,
         "hreflang_links": _q_hreflang_links,
@@ -5593,6 +5612,21 @@ def oracle_sql() -> dict[str, str]:
                    anchor, count(*) AS n
             FROM r WHERE dst_url IS NOT NULL AND trim(anchor) <> ''
             GROUP BY dst_host, anchor
+        """,
+        "degree_distribution": """
+            WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS t
+                        FROM lineitem),
+            ue AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                   FROM e0 WHERE s <> t),
+            deg AS (SELECT z, count(*) AS degree FROM (
+                      SELECT a AS z FROM ue UNION ALL SELECT b FROM ue)
+                    GROUP BY z),
+            hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree)
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(sum(n_nodes) OVER (ORDER BY degree DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge
+            FROM hist
         """,
         "effective_diameter": """
             WITH RECURSIVE

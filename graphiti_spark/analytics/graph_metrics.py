@@ -1070,3 +1070,41 @@ def effective_diameter(
         "reached",
         F.round(w_cum / F.lit(denom), round_dp).alias("cum_frac"),
     )
+
+
+def degree_distribution(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Undirected degree distribution with complementary CDF:
+    (degree, n_nodes, n_ge) where n_ge = nodes with degree >= this one —
+    the log-log curve whose straightness/slope is the first thing anyone
+    checks about a harvested web/entity graph (power-law heavy tail vs a
+    broken extraction producing near-regular degrees). All-integer
+    arithmetic end-to-end, so the oracle is exact with no float-rounding
+    conventions.
+
+    Scale shape: one degree agg over the canonical edge set, one
+    histogram agg over the (tiny, distinct-degree-sized) result, and one
+    running-sum window over that histogram — the window's input is at
+    most max-degree rows, never the graph. Two shuffles total.
+    """
+    from pyspark.sql import Window
+
+    ue = undirected_edges(edges, src_col, dst_col)
+    deg = (
+        ue.select(F.col("a").alias("z"))
+        .unionAll(ue.select(F.col("b").alias("z")))
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(w).alias("n_ge"),
+    )

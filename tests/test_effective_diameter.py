@@ -47,3 +47,14 @@ def test_validation(spark):
     edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with pytest.raises(ValueError):
         effective_diameter(edges, n_seeds=0)
+
+
+def test_degree_distribution_hand_checked(spark):
+    from graphiti_spark.analytics.graph_metrics import degree_distribution
+
+    # star c-x1..x3 plus edge x1-x2: degrees c=3, x1=2, x2=2, x3=1
+    edges = spark.createDataFrame(
+        [("c", "x1"), ("c", "x2"), ("c", "x3"), ("x1", "x2")], ["src", "dst"]
+    )
+    got = {r["degree"]: (r["n_nodes"], r["n_ge"]) for r in degree_distribution(edges).collect()}
+    assert got == {3: (1, 1), 2: (2, 3), 1: (1, 4)}
