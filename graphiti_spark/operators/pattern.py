@@ -64,8 +64,11 @@ def _triple_frame(
         else:
             d = d.filter(F.col(c) == F.lit(term))
     if not out_cols:
-        # fully-ground triple: boolean existence, exposed as 0/1 rows
-        return d.select(F.lit(True).alias("_matched"))
+        # fully-ground triple: boolean existence, exposed as 0/1 rows.
+        # limit(1) makes the marker count-preserving under crossJoin —
+        # N duplicate edge rows matching the constants must gate, not
+        # multiply, the bindings of the variable triples.
+        return d.limit(1).select(F.lit(True).alias("_matched"))
     return d.select(*[F.col(c).alias(v) for v, c in out_cols.items()])
 
 
@@ -87,7 +90,20 @@ def match_pattern(
         if result is None:
             result = t
             continue
-        shared = sorted(set(result.columns) & set(t.columns) - {"_matched"})
+        # A prior ground-triple marker has already gated the row count
+        # (0 or 1 rows through limit(1)); drop the spent column before the
+        # next join so two markers never collide as duplicate '_matched'
+        # columns in a crossJoin.
+        if "_matched" in result.columns and len(result.columns) > 1:
+            result = result.drop("_matched")
+        if set(result.columns) == {"_matched"} and set(t.columns) == {"_matched"}:
+            # AND of two existence markers: 0/1-row crossJoin, one column out
+            result = (
+                result.crossJoin(t.withColumnRenamed("_matched", "_matched2"))
+                .select(F.lit(True).alias("_matched"))
+            )
+            continue
+        shared = sorted((set(result.columns) & set(t.columns)) - {"_matched"})
         if shared:
             result = result.join(t, shared)
         else:

@@ -276,10 +276,13 @@ def hreflang_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
 def translation_clusters(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """(url, cluster_id, n_langs) — connected components over the
     declared-alternate edge list (url <-> href), cluster_id = the
-    lexicographically smallest member URL (the components.py canonical
-    rule). A page with no hreflang markup is its own singleton cluster.
-    Downstream, `keep = (url = cluster_id)` or `hreflang = target lang`
-    picks one page per translation set.
+    lexicographically smallest member URL **present in `pages`**. The raw
+    CC canonical can be a declared href absent from the corpus (a page we
+    never crawled); re-picking the minimum over in-corpus members keeps
+    the documented `keep = (url = cluster_id)` policy total — every
+    cluster retains exactly one page. A page with no hreflang markup is
+    its own singleton cluster. Downstream, `keep = (url = cluster_id)` or
+    `hreflang = target lang` picks one page per translation set.
 
     Scale shape: the alternate edge list is tiny relative to the corpus
     (only multilingual pages emit rows); CC runs over it with the
@@ -297,8 +300,16 @@ def translation_clusters(pages: DataFrame, html_col: str = "html") -> DataFrame:
     base = pages.select("url").join(
         cc.select(F.col("uuid").alias("url"), "canonical_uuid"), "url", "left"
     )
-    assigned = base.select(
-        "url", F.coalesce("canonical_uuid", F.col("url")).alias("cluster_id")
+    raw_assigned = base.select(
+        "url", F.coalesce("canonical_uuid", F.col("url")).alias("_raw_cluster")
+    )
+    # Re-canonicalize over in-corpus members only: one tiny agg + join on
+    # the (multilingual-pages-sized) cluster list, not the corpus.
+    corpus_canon = raw_assigned.groupBy("_raw_cluster").agg(
+        F.min("url").alias("cluster_id")
+    )
+    assigned = raw_assigned.join(corpus_canon, "_raw_cluster").select(
+        "url", "cluster_id"
     )
     lang_counts = (
         links.join(

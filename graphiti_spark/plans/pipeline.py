@@ -117,7 +117,19 @@ class StageLedger:
                 manifest = json.load(f)
             if manifest.get("config_hash") == self.cfg_hash:
                 self.stages_resumed.append(stage)
-                return self.spark.read.parquet(os.path.join(base, "data"))
+                reader = self.spark.read
+                # Manifest-pinned schema: an EMPTY committed stage leaves no
+                # part files, and schema inference on such a directory throws
+                # UNABLE_TO_INFER_SCHEMA. The pin also freezes column order /
+                # types across resume. Older manifests without the key fall
+                # back to inference.
+                if manifest.get("schema"):
+                    from pyspark.sql.types import StructType
+
+                    reader = reader.schema(
+                        StructType.fromJson(json.loads(manifest["schema"]))
+                    )
+                return reader.parquet(os.path.join(base, "data"))
         import time as _time
 
         _t0 = _time.time()
@@ -135,7 +147,10 @@ class StageLedger:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_path)
-        out = self.spark.read.parquet(data_path)
+        # Read back with the writer's schema pinned — a 0-row stage writes
+        # no part files and inference would throw (empty-input pipelines
+        # must still commit + resume cleanly).
+        out = self.spark.read.schema(df.schema).parquet(data_path)
         # Per-partition lineage (north rule): rows per scan partition.
         lineage = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -155,6 +170,7 @@ class StageLedger:
                     "config_hash": self.cfg_hash,
                     "row_count": n,
                     "wall_sec": round(self.timings[stage], 3),
+                    "schema": df.schema.json(),
                 },
                 f,
             )

@@ -67,3 +67,31 @@ def test_translation_clusters(pages):
     # exactly one keeper per cluster under the url = cluster_id policy
     keepers = [u for u, (c, _) in got.items() if u == c]
     assert sorted(keepers) == ["https://a.com/de", "https://b.com/solo"]
+
+
+def test_translation_clusters_off_corpus_canonical(spark):
+    """A declared href that is lexicographically smallest but absent from
+    the crawled corpus must NOT become cluster_id — the canonical is the
+    min IN-CORPUS member, so `keep = (url = cluster_id)` keeps exactly one
+    page per cluster."""
+    rows = [
+        _page(
+            "https://z.com/en",
+            [
+                # off-corpus alternate sorts before every crawled url
+                '<link rel="alternate" hreflang="aa" href="https://0aa.com/x">',
+                '<link rel="alternate" hreflang="de" href="https://z.com/de">',
+            ],
+        ),
+        _page("https://z.com/de", []),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "html"])
+    got = {
+        r["url"]: (r["cluster_id"], r["n_langs"])
+        for r in translation_clusters(pages).collect()
+    }
+    assert got["https://z.com/en"][0] == "https://z.com/de"
+    assert got["https://z.com/de"][0] == "https://z.com/de"
+    assert got["https://z.com/en"][1] == 2  # aa + de declared in-cluster
+    keepers = [u for u, (c, _) in got.items() if u == c]
+    assert keepers == ["https://z.com/de"]

@@ -69,6 +69,45 @@ def test_ground_triple_existence(edges):
     assert match_pattern(edges, [("ana", "KNOWS", "cat")]).count() == 0
 
 
+def test_ground_triple_gates_without_multiplying(spark):
+    """A ground triple matched by N duplicate edge rows must GATE the
+    variable bindings (existence), not multiply their multiplicity by N."""
+    dup = spark.createDataFrame(
+        [
+            ("ana", "KNOWS", "bob"),
+            ("ana", "KNOWS", "bob"),  # duplicate edge row
+            ("ana", "KNOWS", "bob"),
+            ("ana", "WORKS_AT", "acme"),
+        ],
+        ["source_node_uuid", "name", "target_node_uuid"],
+    )
+    rows = match_pattern(
+        dup, [("ana", "KNOWS", "bob"), ("?p", "WORKS_AT", "?c")]
+    ).collect()
+    assert [(r["p"], r["c"]) for r in rows] == [("ana", "acme")]
+    # absent ground triple zeroes the result
+    assert (
+        match_pattern(
+            dup, [("ana", "KNOWS", "zed"), ("?p", "WORKS_AT", "?c")]
+        ).count()
+        == 0
+    )
+
+
+def test_all_ground_pattern_single_marker(edges):
+    """ALL-ground patterns: conjunction of existence checks, one
+    '_matched' column (no duplicate-column crossJoin crash)."""
+    both = match_pattern(
+        edges, [("ana", "KNOWS", "bob"), ("ana", "WORKS_AT", "acme")]
+    )
+    assert both.columns == ["_matched"]
+    assert both.count() == 1
+    missing = match_pattern(
+        edges, [("ana", "KNOWS", "bob"), ("ana", "WORKS_AT", "bex")]
+    )
+    assert missing.count() == 0
+
+
 def test_validation(edges):
     with pytest.raises(ValueError):
         match_pattern(edges, [])

@@ -115,6 +115,23 @@ def test_checkpoint_resume(spark, tmp_path):
     assert manifest["row_count"] == r1["episodes"].count()
 
 
+def test_empty_input_commits_and_resumes(spark, tmp_path):
+    """0-page input must run, commit every stage, and resume — an empty
+    stage writes no parquet part files, so read-back relies on the
+    manifest-pinned schema (pipeline.py materialize)."""
+    out_dir = str(tmp_path / "empty")
+    pages = fixture_pages_df(spark).filter("1=0")
+    r1 = run_pipeline(spark, pages, output_dir=out_dir)
+    assert r1["edges"].count() == 0
+    assert r1["nodes"].count() == 0
+    r2 = run_pipeline(spark, pages, output_dir=out_dir)
+    assert r2["_ledger"].stages_run == []
+    assert len(r2["_ledger"].stages_resumed) >= 10
+    assert r2["edges"].count() == 0
+    # schema survives the empty round-trip
+    assert r2["edges"].schema == r1["edges"].schema
+
+
 def test_episode_entity_edges_backfill(spark):
     """episode.entity_edges carries the final edge uuids whose provenance
     includes the episode (graphiti.py:524-528)."""
