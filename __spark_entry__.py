@@ -461,6 +461,88 @@ _LM_PPL3_CTES = f"""
                         FROM sc3 GROUP BY doc_id)"""
 
 
+def _lm_ppl_ctes_n(order: int, min_count: int, sfx: str, final: str) -> str:
+    """Order-parameterized DuckDB twin of datapipe/lm_quality (Stupid
+    Backoff, alpha=0.4, target = en documents) — generates the CTE chain
+    for ANY order with the KenLM-style count cutoff (`min_count`) applied
+    to every numerator table at level >= 2, exactly as train_backoff_lm
+    does (the denominator context counts stay unpruned). The backoff CASE
+    is built bottom-up with Spark's exact multiplication nesting
+    (0.4 * (inner)) so doubles agree bit-for-bit before the 6dp rounding.
+    Supersedes hand-unrolling a ~100-line CASE per order (_LM_PPL3_CTES
+    is the order-3 hand twin, kept as an independent check)."""
+
+    def pv(j: int) -> str:
+        return "prev" if j == 1 else f"prev{j}"
+
+    ctx = [pv(j) for j in range(1, order)]  # nearest first
+    packs = ", ".join(
+        f"{c} := CASE WHEN i > {j} THEN t[i - {j}] ELSE NULL END"
+        for j, c in enumerate(ctx, start=1)
+    )
+    parts = [
+        f"rt{sfx} AS (SELECT doc_id, {_TOKS} AS t FROM documents)",
+        f"""p{sfx} AS (SELECT doc_id, {", ".join(f"pc.{c} AS {c}" for c in ctx)}, pc.cur AS cur FROM
+              (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(t)),
+                        i -> struct_pack({packs}, cur := t[i]))) AS pc
+               FROM rt{sfx}))""",
+        f"tp{sfx} AS (SELECT {', '.join(f'p{sfx}.{c}' for c in ctx)}, p{sfx}.cur "
+        f"FROM p{sfx} JOIN documents USING (doc_id) WHERE lang = 'en')",
+    ]
+    # ending-keyed k-gram count tables over the target positions
+    for k in range(1, order + 1):
+        keys = [pv(j) for j in range(k - 1, 0, -1)] + ["cur"]
+        where = f" WHERE {pv(k - 1)} IS NOT NULL" if k >= 2 else ""
+        parts.append(
+            f"g{k}{sfx} AS (SELECT {', '.join(keys)}, count(*) AS c "
+            f"FROM tp{sfx}{where} GROUP BY {', '.join(keys)})"
+        )
+    parts.append(
+        f"tt{sfx} AS (SELECT CAST(sum(c) AS DOUBLE) AS n, "
+        f"CAST(count(*) AS DOUBLE) AS v FROM g1{sfx})"
+    )
+    # model tables: s_k = pruned k-gram count / (k-1)-gram context count.
+    # The context (prev{k-1}..prev) matches the ending-keyed (k-1)-gram
+    # after a one-slot shift: t.prev{j} = b.prev{j-1}, t.prev = b.cur.
+    for k in range(2, order + 1):
+        shift = [f"t.{pv(j)} = b.{pv(j - 1)}" for j in range(k - 1, 1, -1)]
+        shift.append("t.prev = b.cur")
+        keys = [pv(j) for j in range(k - 1, 0, -1)] + ["cur"]
+        parts.append(
+            f"""m{k}{sfx} AS (SELECT {", ".join(f"t.{c}" for c in keys)},
+                  CAST(t.c AS DOUBLE) / b.c AS s{k}
+               FROM g{k}{sfx} t JOIN g{k - 1}{sfx} b ON {" AND ".join(shift)}
+               WHERE t.c >= {min_count})"""
+        )
+    # backoff cascade, Spark's exact nesting: level 1 = uni/floor; level k
+    # = CASE WHEN ctx available THEN coalesce(s_k, 0.4 * (level k-1)).
+    expr = f"coalesce(CAST(u.c AS DOUBLE) / tt{sfx}.n, 1.0 / (tt{sfx}.n + tt{sfx}.v))"
+    for k in range(2, order + 1):
+        expr = (
+            f"CASE WHEN p{sfx}.{pv(k - 1)} IS NOT NULL THEN "
+            f"coalesce(m{k}{sfx}.s{k}, 0.4 * ({expr})) ELSE ({expr}) END"
+        )
+    joins = []
+    for k in range(2, order + 1):
+        on = [f"p{sfx}.{pv(j)} = m{k}{sfx}.{pv(j)}" for j in range(k - 1, 0, -1)]
+        on.append(f"p{sfx}.cur = m{k}{sfx}.cur")
+        joins.append(f"LEFT JOIN m{k}{sfx} ON {' AND '.join(on)}")
+    parts.append(
+        f"""sc{sfx} AS (SELECT p{sfx}.doc_id, log10({expr}) AS lp
+             FROM p{sfx} {" ".join(joins)}
+                  LEFT JOIN g1{sfx} u ON p{sfx}.cur = u.cur
+                  CROSS JOIN tt{sfx})"""
+    )
+    parts.append(
+        f"""{final} AS (SELECT doc_id, count(*) AS n_tokens,
+                  round(avg(lp), 6) AS avg_logprob,
+                  round(pow(10.0, -round(avg(lp), 6)), 4) AS ppl
+             FROM sc{sfx} GROUP BY doc_id)"""
+    )
+    return ",\n            ".join(parts)
+
+
 def _pii_count_sql(kind: str) -> str:
     from graphiti_spark.datapipe.pii import PII_PATTERNS
 
@@ -602,6 +684,86 @@ def _pq_sql(dim: int = 64, m: int = 2, ksub: int = 4, k: int = 20) -> str:
         SELECT vec_id, adc_dist FROM (
           SELECT e.vec_id, round({dist}, 6) AS adc_dist
           FROM (SELECT DISTINCT vec_id FROM embeddings) e {joins}
+          ORDER BY adc_dist ASC, e.vec_id LIMIT {k})"""
+    )
+
+
+def _ivf_pq_sql(
+    dim: int = 64,
+    m: int = 2,
+    ksub: int = 4,
+    kcells: int = 4,
+    n_probe: int = 2,
+    k: int = 20,
+) -> str:
+    """DuckDB twin of _q_ivf_pq_topk: the trained-IVF CTEs (md5 seeds,
+    2 Lloyd rounds, cosine cell routing) COMPOSED with the PQ CTEs (md5
+    seeds, 1 L2 Lloyd round per subspace, ADC LUTs) — candidates are the
+    n_probe best cells' members, ADC-scored and top-k'd. PQ CTEs carry a
+    'p' prefix to keep the two Lloyd namespaces apart."""
+    dsub = dim // m
+    ctes = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""s0 AS (SELECT row_number() OVER (ORDER BY h, vid) - 1 AS cid, cv FROM
+             (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id AS vid, embedding AS cv
+              FROM embeddings ORDER BY 1, 2 LIMIT {kcells}))""",
+        _lloyd_round(1, "s0").strip().lstrip(),
+        _lloyd_round(2, "c1").strip().lstrip(),
+        f"""probe AS (SELECT cid FROM c2 CROSS JOIN q
+              ORDER BY {_COS.format(a="c2.cv", b="q.qv")} DESC, cid LIMIT {n_probe})""",
+        f"""af AS (SELECT e.vec_id, e.embedding, c.cid,
+              {_COS.format(a="e.embedding", b="c.cv")} AS cs
+            FROM embeddings e CROSS JOIN c2 c)""",
+        """bf AS (SELECT vec_id, embedding, cid FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM af)
+           WHERE rn = 1)""",
+        "pf AS (SELECT b.vec_id FROM bf b JOIN probe USING (cid))",
+        f"""ps0 AS (SELECT row_number() OVER (ORDER BY h, vid) - 1 AS cid, cv FROM
+             (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id AS vid, embedding AS cv
+              FROM embeddings ORDER BY 1, 2 LIMIT {ksub}))""",
+    ]
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        sl = f"e.embedding[{lo}:{hi}]"
+        ctes += [
+            f"pb{j} AS (SELECT cid, CAST(cv[{lo}:{hi}] AS DOUBLE[]) AS cv FROM ps0)",
+            f"""pa{j} AS (SELECT e.vec_id, e.embedding, c.cid,
+                  {_l2_sql(sl, "c.cv")} AS d
+                FROM embeddings e CROSS JOIN pb{j} c)""",
+            f"""pw{j} AS (SELECT vec_id, embedding, cid FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d ASC, cid) AS rn FROM pa{j})
+                WHERE rn = 1)""",
+            f"""pm{j} AS (SELECT cid, idx, round(avg(CAST(val AS DOUBLE)), 6) AS mv
+                FROM (SELECT cid, unnest(embedding[{lo}:{hi}]) AS val,
+                        generate_subscripts(embedding[{lo}:{hi}], 1) AS idx
+                      FROM pw{j})
+                GROUP BY cid, idx)""",
+            f"pg{j} AS (SELECT cid, list(mv ORDER BY idx) AS cv FROM pm{j} GROUP BY cid)",
+            f"""pt{j} AS (SELECT p.cid, coalesce(pg{j}.cv, p.cv) AS cv
+                FROM pb{j} p LEFT JOIN pg{j} USING (cid))""",
+            f"""penc{j} AS (SELECT vec_id, cid FROM
+                  (SELECT e.vec_id, c.cid, row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_l2_sql(sl, "c.cv")} ASC, c.cid) AS rn
+                   FROM embeddings e CROSS JOIN pt{j} c)
+                WHERE rn = 1)""",
+            f"""plut{j} AS (SELECT c.cid, {_l2_sql(f"q.qv[{lo}:{hi}]", "c.cv")} AS l
+                FROM pt{j} c CROSS JOIN q)""",
+        ]
+    dist = " + ".join(f"l{j}.l" for j in range(m))
+    joins = " ".join(
+        f"JOIN penc{j} ON penc{j}.vec_id = e.vec_id"
+        f" JOIN plut{j} l{j} ON l{j}.cid = penc{j}.cid"
+        for j in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT vec_id, adc_dist FROM (
+          SELECT e.vec_id, round({dist}, 6) AS adc_dist
+          FROM pf e {joins}
           ORDER BY adc_dist ASC, e.vec_id LIMIT {k})"""
     )
 
@@ -1191,6 +1353,29 @@ def _q_ann_pq_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(emb, dim=64, m=2, ksub=4, n_iter=1)
     return pq_topk(emb, books, _query_vec(spark, sf_dir), k=20)
+
+
+def _q_ivf_pq_topk(spark, sf_dir):
+    """IVF+PQ composed index (simsearch.ivf_pq_topk) — the FAISS
+    IndexIVFPQ shape a 10^12-vector ANN ships (coarse cell routing +
+    ADC over only the probed cells; by_residual=False so every stage is
+    exactly SQL-twinnable). Trains BOTH quantizers deterministically
+    (k-means cells: md5 seeds, 2 Lloyd rounds; PQ codebooks: md5 seeds,
+    1 round per subspace) then searches n_probe=2 of 4 cells, top-20.
+    Oracle: _ivf_pq_sql — full restatement of both trainings, the cell
+    filter, and the ADC lookup."""
+    from graphiti_spark.datapipe.simsearch import (
+        ivf_pq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, k=4, n_iter=2)
+    books = train_pq_codebooks(emb, dim=64, m=2, ksub=4, n_iter=1)
+    return ivf_pq_topk(
+        emb, cents, books, _query_vec(spark, sf_dir), k=20, n_probe=2
+    )
 
 
 def _q_text_profile(spark, sf_dir):
@@ -2035,6 +2220,28 @@ def _q_lm_perplexity_tri(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     lm = train_backoff_lm(docs.filter("lang = 'en'"), order=3)
+    out = lm_perplexity(docs, lm)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_logprob",
+        "ppl",
+    )
+
+
+def _q_lm_perplexity_5(spark, sf_dir):
+    """CCNet-fidelity 5-gram Stupid Backoff (datapipe/lm_quality.py
+    order=5, min_count=2): Wenzek et al. 2020 trains a KenLM 5-gram with
+    count pruning; this is the same order and cutoff discipline — every
+    numerator table at level >= 2 drops grams below min_count (the
+    KenLM --prune analog that Heaps-bounds the model at web scale), the
+    context denominators stay unpruned, and backoff multiplies alpha=0.4
+    once per skipped level. Oracle: the order-parameterized SQL generator
+    `_lm_ppl_ctes_n(5, 2, ...)` — full restatement, not a golden."""
+    from graphiti_spark.datapipe.lm_quality import lm_perplexity, train_backoff_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_backoff_lm(docs.filter("lang = 'en'"), order=5, min_count=2)
     out = lm_perplexity(docs, lm)
     return out.select(
         F.col("id").cast("long").alias("doc_id"),
@@ -3012,14 +3219,16 @@ def _q_node2vec_walks(spark, sf_dir):
 
 
 def _q_k_truss_parts(spark, sf_dir):
-    """k-truss (k=4) of the part co-purchase graph by iterative support
-    peeling (graph_metrics.k_truss). Spark peels with the degree-ordered
-    O(m^1.5) wedge enumerator and stops at the fixpoint; the oracle
-    unrolls the same number of rounds with naive ordered-triple triangle
-    enumeration — independent algorithms, identical survivors + support."""
-    from graphiti_spark.analytics.graph_metrics import k_truss
+    """k-truss (k=4) of the part co-purchase graph by DELTA peeling
+    (graph_metrics.k_truss_delta): triangles enumerated once, support
+    maintained by per-round decrements — proven row-identical to the
+    per-round-recompute k_truss (tests/test_ktruss.py parity suite). The
+    oracle unrolls the same number of rounds with naive ordered-triple
+    triangle enumeration — independent algorithms, identical survivors +
+    support."""
+    from graphiti_spark.analytics.graph_metrics import k_truss_delta
 
-    out = k_truss(_coorder_part_graph(spark, sf_dir), k=4, max_iter=5)
+    out = k_truss_delta(_coorder_part_graph(spark, sf_dir), k=4, max_iter=5)
     return out.select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
@@ -3832,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "stratified_sample": _q_stratified_sample,
         "lm_perplexity": _q_lm_perplexity,
+        "lm_perplexity_5": _q_lm_perplexity_5,
         "paragraph_dedup": _q_paragraph_dedup,
         "domain_stats": _q_domain_stats,
         "fact_confidence": _q_fact_confidence,
@@ -3841,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "kg_embed_examples": _q_kg_embed_examples,
         "containment_pairs": _q_containment_pairs,
+        "ivf_pq_topk": _q_ivf_pq_topk,
         "weighted_sample_k": _q_weighted_sample_k,
         "lm_perplexity_tri": _q_lm_perplexity_tri,
         "chunk_documents": _q_chunk_documents,
@@ -4305,6 +4516,7 @@ def oracle_sql() -> dict[str, str]:
         **golden,
         "ann_ivf_trained_topk": _IVF_TRAINED_SQL,
         "ann_pq_topk": _pq_sql(64, 2, 4, 20),
+        "ivf_pq_topk": _ivf_pq_sql(64, 2, 4, 4, 2, 20),
         "ann_ivf_topk": f"""
             WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id IN (0,1,2,3)),
             q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -4964,6 +5176,10 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity_tri": f"""
             WITH {_LM_PPL3_CTES}
             SELECT doc_id, n_tokens, avg_logprob, ppl FROM lm_ppl3
+        """,
+        "lm_perplexity_5": f"""
+            WITH {_lm_ppl_ctes_n(5, 2, "q", "lm_ppl5")}
+            SELECT doc_id, n_tokens, avg_logprob, ppl FROM lm_ppl5
         """,
         "ppl_buckets": f"""
             WITH {_LM_PPL_CTES},

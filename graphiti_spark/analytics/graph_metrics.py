@@ -827,15 +827,10 @@ def entity_cooccurrence_pmi(
     )
 
 
-def _edge_support(ue: DataFrame) -> DataFrame:
-    """Per-edge triangle support over a canonical (a < b) edge set:
-    (a, b, support), support = 0 rows included.
-
-    Degree-ordered orientation (same O(m^1.5) wedge bound as
-    triangle_counts, re-derived per call because peeling changes degrees):
-    each triangle found once as (apex, x, y); its support lands on the
-    three canonical edges {apex,x}, {apex,y}, {x,y} via one explode + one
-    count agg."""
+def _triangles(ue: DataFrame) -> DataFrame:
+    """Each triangle of the canonical (a < b) edge set exactly once as
+    (apex, x, y), via degree-ordered wedge enumeration (the O(m^1.5)
+    bound of triangle_counts)."""
     deg = (
         ue.select(F.col("a").alias("uuid"))
         .unionByName(ue.select(F.col("b").alias("uuid")))
@@ -864,24 +859,36 @@ def _edge_support(ue: DataFrame) -> DataFrame:
         | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
     )
     closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
-    tri = wedges.join(closing, ["x", "y"]).select("apex", "x", "y")
-    tri_edges = tri.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.least("apex", "x").alias("a"), F.greatest("apex", "x").alias("b")
-                ),
-                F.struct(
-                    F.least("apex", "y").alias("a"), F.greatest("apex", "y").alias("b")
-                ),
-                # x, y are in DEGREE order (the wedge-foot order), not id
-                # order — canonicalize like the other two legs
-                F.struct(
-                    F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
-                ),
-            )
-        ).alias("e")
-    ).select("e.a", "e.b")
+    return wedges.join(closing, ["x", "y"]).select("apex", "x", "y")
+
+
+def _tri_edge_structs(tri: DataFrame):
+    """The three canonical edges of each (apex, x, y) triangle as an
+    array<struct<a,b>> column expression."""
+    return F.array(
+        F.struct(
+            F.least("apex", "x").alias("a"), F.greatest("apex", "x").alias("b")
+        ),
+        F.struct(
+            F.least("apex", "y").alias("a"), F.greatest("apex", "y").alias("b")
+        ),
+        # x, y are in DEGREE order (the wedge-foot order), not id
+        # order — canonicalize like the other two legs
+        F.struct(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")),
+    )
+
+
+def _edge_support(ue: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (a < b) edge set:
+    (a, b, support), support = 0 rows included.
+
+    Support re-derived per call because peeling changes degrees: each
+    triangle found once by _triangles; its support lands on the three
+    canonical edges via one explode + one count agg."""
+    tri = _triangles(ue)
+    tri_edges = tri.select(F.explode(_tri_edge_structs(tri)).alias("e")).select(
+        "e.a", "e.b"
+    )
     sup = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
     return ue.join(sup, ["a", "b"], "left").withColumn(
         "support", F.coalesce("support", F.lit(0)).cast("long")
@@ -927,6 +934,75 @@ def k_truss(
             break
         cur, n = kept, m
     return _edge_support(cur).select("a", "b", "support")
+
+
+def k_truss_delta(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """k-truss by DELTA peeling — identical synchronous semantics and
+    output as `k_truss` (same drop-all-below-threshold rounds, same
+    max_iter bound, support reported on the surviving subgraph), but the
+    O(m^1.5) triangle enumeration runs ONCE instead of once per round.
+
+    After the initial enumeration, each round only (1) finds the drop set
+    (a filter on the maintained support), (2) marks the triangles that
+    contain a dropped edge as destroyed, and (3) decrements the support
+    of each destroyed triangle's surviving edges — dropping an edge can
+    only lower support through the triangles it participates in, so the
+    maintained counts stay exactly equal to a fresh recount on the
+    surviving subgraph (the invariant the parity test pins).
+
+    Scale shape: the (tri_id, edge) membership table is 3x the triangle
+    count, materialized once and SHRUNK each round (destroyed triangles
+    anti-joined away, lineage cut per round); per-round work is keyed
+    joins sized by the remaining triangles, not wedge enumeration over
+    the remaining edges. The classic trade (Cohen 2008 §4; same shape as
+    GraphX truss implementations): pay O(#triangles) state to make every
+    peel round output-proportional."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ue = undirected_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    tri = _triangles(ue)
+    tid = F.concat_ws("|", "apex", "x", "y").alias("tid")
+    mem = (
+        tri.select(tid, F.explode(_tri_edge_structs(tri)).alias("e"))
+        .select("tid", F.concat_ws("|", "e.a", "e.b").alias("ek"))
+        .localCheckpoint(eager=True)
+    )
+    sup = mem.groupBy("ek").agg(F.count(F.lit(1)).alias("support"))
+    alive = (
+        ue.select("a", "b", F.concat_ws("|", "a", "b").alias("ek"))
+        .join(sup, "ek", "left")
+        .withColumn("support", F.coalesce("support", F.lit(0)).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        drop = alive.filter(F.col("support") < k - 2).select("ek")
+        if drop.limit(1).count() == 0:
+            break
+        destroyed = mem.join(drop, "ek").select("tid").distinct()
+        decr = (
+            mem.join(destroyed, "tid")
+            .groupBy("ek")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        alive = (
+            alive.filter(F.col("support") >= k - 2)
+            .join(decr, "ek", "left")
+            .select(
+                "a",
+                "b",
+                "ek",
+                (F.col("support") - F.coalesce("_d", F.lit(0))).alias("support"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        mem = mem.join(destroyed, "tid", "left_anti").localCheckpoint(eager=True)
+    return alive.select("a", "b", F.col("support").cast("long").alias("support"))
 
 
 def degree_assortativity(

@@ -172,6 +172,26 @@ def train_ivf_centroids(
     return cents
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+def _probe_cells(
+    centroids: list[list[float]], query_vector: list[float], n_probe: int
+) -> list[int]:
+    """Cells ranked by cosine(centroid, query) desc, ties to the lower
+    cell — driver-side over the tiny centroid list."""
+    order = sorted(
+        range(len(centroids)), key=lambda i: (-_cos_py(centroids[i], query_vector), i)
+    )
+    return order[:n_probe]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -184,16 +204,7 @@ def ivf_topk(
     """IVF search: rank cells by cosine(centroid, query) on the driver,
     scan only the n_probe best cells. Partition the corpus by ivf_cell and
     this becomes file-level pruning."""
-    import math
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
-
-    order = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i], query_vector), i))
-    probe = order[:n_probe]
+    probe = _probe_cells(centroids, query_vector, n_probe)
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     scored = assigned.filter(F.col("ivf_cell").isin(probe)).select(
         F.col(id_col), cosine_col(F.col(vec_col), _query_lit(query_vector)).alias("score")
@@ -365,4 +376,38 @@ def pq_topk(
         enc.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vector: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composed index — the FAISS IndexIVFPQ shape (Jegou et al.
+    2011 §V; here with by_residual=False: codes quantize the raw vectors,
+    not the residuals, keeping every stage an exact SQL-twinnable
+    composition of `ivf_assign` + `pq_topk`). The query routes to the
+    n_probe cells whose centroid-cosine ranks highest (driver-side over
+    the tiny centroid list), and asymmetric-distance scoring runs ONLY on
+    those cells' vectors.
+
+    This is the index a 10^12-vector ANN actually ships: IVF turns the
+    scan into n_probe/k_cells of the corpus (write the corpus partitioned
+    by ivf_cell and Catalyst prunes the files before reading), and PQ
+    turns each scanned vector into m bytes + m LUT lookups (the LUTs are
+    constant-folded literals). Neither half shuffles; top-k is
+    TakeOrdered (per-partition heaps + a k-row driver merge)."""
+    probe = _probe_cells(centroids, query_vector, n_probe)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("ivf_cell").isin(probe)).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    return pq_topk(
+        cand, codebooks, query_vector, k=k, id_col=id_col, vec_col=vec_col
     )

@@ -538,6 +538,15 @@ def _rebuild_affected(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # Pin the PRE-delta canonical set before the upsert jobs rewrite the
+    # nodes table (localCheckpoint materializes the read now) — used below
+    # for the affected_existing_clusters stat.
+    nodes_before = (
+        _read(spark, state_dir, "nodes")
+        .select(F.col("uuid").alias("canon"))
+        .localCheckpoint()
+    )
+
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_nodes = pool.submit(_nodes_job)
         f_edges = pool.submit(_edges_job)
@@ -547,9 +556,17 @@ def _rebuild_affected(
         f_mentions.result()
     mark("rebuild_upserts")
 
+    # affected_clusters counts NEW singleton clusters too (every touched
+    # entity's canonical); the cost-model number a deployment watches is
+    # how many PRE-EXISTING clusters the delta disturbed — the realistic-
+    # delta bench leg (disjoint tail vocab) collapses this one while the
+    # adversarial shared-vocab leg does not.
     return {
         "changed_entities": changed_uuids.count(),
         "affected_clusters": affected_canon.count(),
+        "affected_existing_clusters": affected_canon.join(
+            nodes_before, "canon", "left_semi"
+        ).count(),
         "rebuilt_edge_partitions": parts.count(),
         "nodes_upserted": nodes_updated.count(),
         "edges_upserted": edges_updated.count(),

@@ -212,6 +212,8 @@ def run_pipeline(
     config: PipelineConfig = DEFAULT_CONFIG,
     output_dir: str | None = None,
     registry=None,
+    embed_fn=None,
+    embed_tag: str = "",
 ) -> dict[str, DataFrame]:
     """Execute the full DAG; returns the output tables as DataFrames.
 
@@ -223,9 +225,21 @@ def run_pipeline(
     (labels + typed attributes + fact_type; the reference's Pydantic
     entity_types/edge_types hooks, node_operations.py:680-688,
     edge_operations.py:522-540).
+
+    ``embed_fn``: optional real-model embedding for the ER cosine gate
+    (see operators/er.make_score_pair_udf — batch ``list[str] -> (n, d)``
+    L2-normalized ndarray; examples/real_models.py wires a
+    sentence-transformer). When injecting one on a resumable run, set
+    ``embed_tag`` to a model identifier — it folds into the resume key so
+    stages committed under a different embedding are recomputed, not
+    silently reused.
     """
     ledger = StageLedger(
-        spark, output_dir, config, extra_hash=repr(registry) if registry is not None else ""
+        spark,
+        output_dir,
+        config,
+        extra_hash=(repr(registry) if registry is not None else "")
+        + (f"|embed:{embed_tag}" if embed_tag else ""),
     )
 
     pages = ensure_scan_width(spark, pages)
@@ -268,7 +282,7 @@ def run_pipeline(
             "s5_duplicate_pairs",
             lambda: score_and_filter_pairs(
                 entities, candidate_pairs(entities, config, caches=er_caches), config,
-                caches=er_caches,
+                caches=er_caches, embed_fn=embed_fn,
             ),
         )
         for _c in er_caches:

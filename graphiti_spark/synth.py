@@ -365,10 +365,27 @@ _LAST = [
 ]
 
 
-def _entity_name(rank: int) -> str:
+# zipf ranks <= this stay SHARED across entity pools (the hot head every
+# crawl batch re-mentions); tail ranks get pool-private names — see
+# _entity_name(pool=...) and webtext_pages(pool=...)
+_POOL_SHARED_HEAD = 100
+
+
+def _entity_name(rank: int, pool: str = "") -> str:
     """Entity name for a zipf rank — pure, capitalized, NER-recognizable.
-    ~50k distinct two-token names (30 x 24 x suffix variants)."""
-    a = _FIRST[rank % len(_FIRST)].capitalize()
+    ~50k distinct two-token names (30 x 24 x suffix variants).
+
+    ``pool`` models batch-disjoint entity vocabularies for the realistic
+    incremental-delta benchmark: tail entities (rank > _POOL_SHARED_HEAD)
+    get the pool tag fused into their first token ("Alder Works" ->
+    "Alderfresh Works"), making them DISTINCT canonical entities (fuzzy
+    similarity ~0.8, below every merge threshold), while the zipf head
+    stays shared — a new crawl batch mentions the same hot entities but
+    its own long tail."""
+    first = _FIRST[rank % len(_FIRST)]
+    if pool and rank > _POOL_SHARED_HEAD:
+        first = first + pool
+    a = first.capitalize()
     b = _LAST[(rank // len(_FIRST)) % len(_LAST)].capitalize()
     suffix = rank // (len(_FIRST) * len(_LAST))
     return f"{a} {b}{suffix}" if suffix else f"{a} {b}"
@@ -403,24 +420,27 @@ def _structured_head(doc_id: int, lead_entity: str) -> str:
     return "".join(parts)
 
 
-def _build_webtext_html(doc_id: int, text: str) -> bytes:
+def _build_webtext_html(doc_id: int, text: str, pool: str = "") -> bytes:
     """Page html whose body paragraphs carry SVO sentences over the
     LONG-TAIL entity vocabulary (log-uniform rank: a hot head plus a
     unique-ish tail) — the realistic shape for the KG/incremental path, vs
     `_build_html`'s adversarial ~31-token entity vocabulary. The <head>
-    additionally carries the structured-data tier (_structured_head)."""
+    additionally carries the structured-data tier (_structured_head).
+    ``pool`` tags tail-entity names (see _entity_name)."""
     words = (text or "").split() or ["empty", "page"]
     n_sent = 3 + int(hashlib.md5(f"wph:{doc_id}".encode()).hexdigest()[:4], 16) % 4
     sents = []
     lead = ""
     for k in range(n_sent):
         h = int(hashlib.md5(f"wpe:{doc_id}:{k}".encode()).hexdigest()[:12], 16)
-        subj = _entity_name(_zipf_rank(h, _ENTITY_VOCAB))
+        subj = _entity_name(_zipf_rank(h, _ENTITY_VOCAB), pool)
         if k == 0:
             lead = subj
-        obj = _entity_name(_zipf_rank(h // 11, _ENTITY_VOCAB))
+        obj = _entity_name(_zipf_rank(h // 11, _ENTITY_VOCAB), pool)
         if subj == obj:
-            obj = _entity_name(1 + (_zipf_rank(h // 11, _ENTITY_VOCAB) % _ENTITY_VOCAB))
+            obj = _entity_name(
+                1 + (_zipf_rank(h // 11, _ENTITY_VOCAB) % _ENTITY_VOCAB), pool
+            )
         verb = _VERBS[h % len(_VERBS)]
         filler = words[h % len(words)]
         sents.append(f"{subj} {verb} {obj} near the {filler} office.")
@@ -429,10 +449,15 @@ def _build_webtext_html(doc_id: int, text: str) -> bytes:
     return (head + _build_links(doc_id) + _NAV_CLOSE + paras + _TAIL).encode("utf-8")
 
 
-def webtext_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def webtext_pages(spark: SparkSession, sf_dir: str, pool: str = "") -> DataFrame:
     """input_hint-shaped pages (url, warc_ts, html, text, lang) whose
     extracted entities follow a zipf long tail — the realistic-delta
-    corpus for the incremental-ingest benchmark."""
+    corpus for the incremental-ingest benchmark.
+
+    ``pool`` gives the batch its own tail-entity vocabulary (hot head
+    shared, rank > _POOL_SHARED_HEAD tagged) — the corpus shape where an
+    incremental delta touches only a few percent of existing clusters
+    instead of nearly all of them."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
@@ -442,7 +467,7 @@ def webtext_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _html_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                _build_webtext_html(int(d), t if t is not None else "")
+                _build_webtext_html(int(d), t if t is not None else "", pool)
                 for d, t in zip(doc_id, text)
             ],
             dtype=object,

@@ -55,3 +55,41 @@ def test_cascade_peeling(spark):
 def test_k_guard(graph):
     with pytest.raises(ValueError):
         k_truss(graph, k=1)
+
+
+def _sorted_rows(df):
+    return sorted((r["a"], r["b"], r["support"]) for r in df.collect())
+
+
+def test_delta_parity_on_fixture(spark, graph):
+    """k_truss_delta must return IDENTICAL (a, b, support) rows as the
+    per-round-recompute k_truss at every k, including the maintained
+    support equalling a fresh recount on the survivors."""
+    from graphiti_spark.analytics.graph_metrics import k_truss_delta
+
+    for k in (2, 3, 4, 5):
+        assert _sorted_rows(k_truss_delta(graph, k=k)) == _sorted_rows(
+            k_truss(graph, k=k)
+        ), f"mismatch at k={k}"
+
+
+def test_delta_parity_cascade_and_random(spark):
+    from graphiti_spark.analytics.graph_metrics import k_truss_delta
+
+    g = _g(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")])
+    for k in (3, 4):
+        assert _sorted_rows(k_truss_delta(g, k=k)) == _sorted_rows(k_truss(g, k=k))
+    # deterministic pseudo-random graph: 40 nodes, md5-derived edges
+    import hashlib
+
+    pairs = []
+    for i in range(40):
+        for j in range(i + 1, 40):
+            h = hashlib.md5(f"{i}-{j}".encode()).hexdigest()
+            if int(h[:4], 16) % 7 == 0:
+                pairs.append((i, j))
+    g2 = _g(spark, pairs)
+    for k in (3, 4, 5):
+        assert _sorted_rows(k_truss_delta(g2, k=k)) == _sorted_rows(
+            k_truss(g2, k=k)
+        ), f"random-graph mismatch at k={k}"

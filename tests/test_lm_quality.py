@@ -175,3 +175,40 @@ def test_order5_ccnet_shape(spark):
     assert rows[0]["n_tokens"] == 10
     assert rows[0]["avg_logprob"] == pytest.approx(avg, abs=1e-9)
     assert rows[0]["ppl"] == pytest.approx(round(10.0 ** (-avg), 4), abs=1e-6)
+
+
+def test_5gram_min_count_prunes_cascade(spark):
+    """Order-5 with the KenLM-style cutoff min_count=2 (the
+    lm_perplexity_5 oracle configuration). Target = "a b a b a":
+      counts  uni a:3 b:2 | bi (a,b):2 (b,a):2 | tri (a,b,a):2 (b,a,b):1
+              4g (a,b,a,b):1 (b,a,b,a):1 | 5g (a,b,a,b,a):1
+      pruning (>=2) keeps both bigrams and tri (a,b,a); drops tri
+      (b,a,b), both 4-grams, and the 5-gram.
+    Scoring "a b a b a":
+      pos1: uni(a) = 3/5
+      pos2: s2(b|a) = 2/3
+      pos3: s3(a|a b) = c(aba)/c(ab) = 2/2 = 1
+      pos4: lvl4 pruned -> 0.4 * (lvl3 (b,a,b) pruned -> 0.4 * s2(a,b))
+            = 0.4 * 0.4 * 2/3
+      pos5: lvl5 pruned -> 0.4 * (lvl4 pruned -> 0.4 * s3(a|a b))
+            = 0.4 * 0.4 * 1
+    """
+    from graphiti_spark.datapipe.lm_quality import lm_perplexity, train_backoff_lm
+
+    text = "a b a b a"
+    tgt = spark.createDataFrame([("t", text)], "doc_id string, text string")
+    lm = train_backoff_lm(tgt, order=5, min_count=2)
+    rows = lm_perplexity(
+        spark.createDataFrame([("x", text)], "doc_id string, text string"), lm
+    ).collect()
+    logs = [
+        math.log10(3 / 5),
+        math.log10(2 / 3),
+        math.log10(1.0),
+        math.log10(0.4 * 0.4 * 2 / 3),
+        math.log10(0.4 * 0.4),
+    ]
+    avg = round(sum(logs) / len(logs), 6)
+    assert rows[0]["n_tokens"] == 5
+    assert rows[0]["avg_logprob"] == pytest.approx(avg, abs=1e-9)
+    assert rows[0]["ppl"] == pytest.approx(round(10.0 ** (-avg), 4), abs=1e-6)

@@ -104,3 +104,49 @@ def test_dim_must_divide(spark):
     df = spark.createDataFrame([(1, [0.0] * 6)], ["vec_id", "embedding"])
     with pytest.raises(ValueError):
         train_pq_codebooks(df, dim=6, m=4, ksub=2)
+
+
+def test_ivf_pq_composition(spark):
+    """IVF+PQ (simsearch.ivf_pq_topk): probing ALL cells reproduces plain
+    PQ-ADC exactly; probing one cell returns only that cell's members;
+    recall on tight clusters survives the composed index."""
+    from graphiti_spark.datapipe.simsearch import (
+        ivf_assign,
+        ivf_pq_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16) * 5
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.randn(16) * 0.1])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_ivf_centroids(df, k=4, n_iter=2)
+    books = train_pq_codebooks(df, dim=16, m=4, ksub=4, n_iter=2)
+    q = [float(x) for x in centers[1]]
+
+    # n_probe = all cells == plain ADC over the whole corpus
+    full = [(r["vec_id"], r["adc_dist"]) for r in pq_topk(df, books, q, k=10).collect()]
+    allp = [
+        (r["vec_id"], r["adc_dist"])
+        for r in ivf_pq_topk(df, cents, books, q, k=10, n_probe=4).collect()
+    ]
+    assert full == allp
+
+    # n_probe=1: results are a subset of the best cell's members
+    assigned = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign(df, cents).collect()}
+    one = ivf_pq_topk(df, cents, books, q, k=10, n_probe=1).collect()
+    cells = {assigned[r["vec_id"]] for r in one}
+    assert len(cells) == 1
+
+    # recall vs exact cosine: the composed index must not lose recall
+    # beyond what PQ quantization alone costs (cell routing is lossless
+    # on these tight clusters — measured: plain-PQ recall == composed
+    # recall at every n_probe for this seed)
+    exact = {r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()}
+    plain_pq = {r["vec_id"] for r in pq_topk(df, books, q, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_pq_topk(df, cents, books, q, k=10, n_probe=2).collect()}
+    assert len(exact & approx) >= len(exact & plain_pq)
+    assert len(exact & approx) >= 5

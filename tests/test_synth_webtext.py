@@ -120,3 +120,39 @@ def test_webtext_pages_structured_tier(spark):
     collapsed = groups.filter(F.col("n_dups") > 1)
     assert collapsed.count() > 0  # syndication blocks collapse
     assert groups.agg(F.sum("n_dups")).collect()[0][0] == n  # partition of pages
+
+
+def test_entity_pool_tags_tail_keeps_head(spark):
+    """webtext_pages(pool=...) gives a batch its own tail-entity
+    vocabulary: pool='' output is byte-identical to before (golden
+    stability), zipf-head names (rank <= 100) stay shared across pools,
+    tail names are pool-private — the realistic incremental-delta corpus
+    shape (a new crawl batch re-mentions hot entities but brings its own
+    long tail)."""
+    from graphiti_spark.synth import (
+        _POOL_SHARED_HEAD,
+        _entity_name,
+        webtext_pages,
+    )
+
+    # pure-function level: head shared, tail tagged, default unchanged
+    assert _entity_name(5, "fresh") == _entity_name(5)
+    assert _entity_name(_POOL_SHARED_HEAD, "fresh") == _entity_name(_POOL_SHARED_HEAD)
+    tail = _entity_name(_POOL_SHARED_HEAD + 1, "fresh")
+    assert tail != _entity_name(_POOL_SHARED_HEAD + 1)
+    assert "fresh" in tail.lower()
+    # two-token shape preserved (NER recognizability)
+    assert len(tail.split()) == len(_entity_name(_POOL_SHARED_HEAD + 1).split())
+
+    # page level: default pool is bit-identical; tagged pool shares the
+    # head but diverges on the tail
+    base = webtext_pages(spark, "/root/testdata/sf0.001")
+    fresh = webtext_pages(spark, "/root/testdata/sf0.001", pool="fresh")
+    b = {r["url"]: bytes(r["html"]) for r in base.limit(200).collect()}
+    f = {r["url"]: bytes(r["html"]) for r in fresh.limit(200).collect()}
+    assert set(b) == set(f)
+    assert any(b[u] != f[u] for u in b)  # tail entities diverge somewhere
+    # hot-head names occur verbatim in BOTH corpora (shared clusters)
+    head_name = _entity_name(1).encode()
+    assert any(head_name in h for h in b.values())
+    assert any(head_name in h for h in f.values())
