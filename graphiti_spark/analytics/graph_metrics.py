@@ -980,13 +980,29 @@ def k_truss_delta(
         .withColumn("support", F.coalesce("support", F.lit(0)).cast("long"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # Broadcast the per-round drop set below this row count (the peel tail
+    # is tiny after round 1) — turns destroyed-triangle detection into a
+    # map-side join. Above it (round-1 mass drops, or web-scale deltas)
+    # fall back to the shuffle join.
+    bcast_cap = 2_000_000
+    for rnd in range(max_iter):
         drop = alive.filter(F.col("support") < k - 2).select("ek")
-        if drop.limit(1).count() == 0:
+        n_drop = drop.count()
+        if n_drop == 0:
             break
-        destroyed = mem.join(drop, "ek").select("tid").distinct()
+        hint = F.broadcast if n_drop <= bcast_cap else (lambda df: df)
+        destroyed = (
+            mem.join(hint(drop), "ek")
+            .select("tid")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # destroyed is reused twice (decrement + anti-join): its own count
+        # gates its broadcast independently of n_drop (one dropped edge can
+        # sit in arbitrarily many triangles)
+        hint2 = F.broadcast if destroyed.count() <= bcast_cap else (lambda df: df)
         decr = (
-            mem.join(destroyed, "tid")
+            mem.join(hint2(destroyed), "tid")
             .groupBy("ek")
             .agg(F.count(F.lit(1)).alias("_d"))
         )
@@ -1001,7 +1017,14 @@ def k_truss_delta(
             )
             .localCheckpoint(eager=True)
         )
-        mem = mem.join(destroyed, "tid", "left_anti").localCheckpoint(eager=True)
+        # The membership table shrinks monotonically; rewriting its cache
+        # every round costs a full 3x#triangles materialization, so cut
+        # lineage only every other round (planning depth stays bounded at
+        # 2 anti-joins) — except keep the lazy filter when destroyed is
+        # broadcastable (map-side anti-join is cheap to replay).
+        mem = mem.join(hint2(destroyed), "tid", "left_anti")
+        if rnd % 2 == 1 or n_drop > bcast_cap:
+            mem = mem.localCheckpoint(eager=True)
     return alive.select("a", "b", F.col("support").cast("long").alias("support"))
 
 

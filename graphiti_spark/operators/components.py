@@ -81,10 +81,11 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _driver_union_find(rows: list) -> list[tuple[str, str]]:
+def _driver_union_find(rows) -> list[tuple[str, str]]:
     """In-memory union-find with the reference's tie-break: canonical =
     lexicographically smallest uuid in the component (bulk_utils.py:449-486).
-    Returns non-identity (uuid, canonical) rows."""
+    Takes any iterable of (u, v)-indexable rows; returns non-identity
+    (uuid, canonical) rows."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -96,7 +97,7 @@ def _driver_union_find(rows: list) -> list[tuple[str, str]]:
         return root
 
     for r in rows:
-        ra, rb = find(r["u"]), find(r["v"])
+        ra, rb = find(r[0]), find(r[1])
         if ra != rb:
             # union toward the smaller root — keeps roots = component minimum
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
@@ -124,11 +125,20 @@ def connected_components(
     edges = _canonical_edges(pairs).localCheckpoint(eager=True)
     n_edges = edges.count()
     if n_edges <= config.cc_driver_threshold:
-        mapping = _driver_union_find(edges.collect())
+        # Arrow both ways: toPandas() avoids materializing O(edges) Row
+        # objects and createDataFrame(pandas) avoids per-row pickling —
+        # at the threshold (10^6 edges) the Row-object path cost tens of
+        # driver-serial seconds, a direct bite out of the Amdahl floor
+        # the scaling campaign measures.
+        import pandas as pd
+
+        pdf = edges.select("u", "v").toPandas()
+        mapping = _driver_union_find(zip(pdf["u"].tolist(), pdf["v"].tolist()))
         spark = pairs.sparkSession
         if not mapping:
             return spark.createDataFrame([], "uuid string, canonical_uuid string")
-        return spark.createDataFrame(mapping, "uuid string, canonical_uuid string")
+        out = pd.DataFrame(mapping, columns=["uuid", "canonical_uuid"])
+        return spark.createDataFrame(out)
     prev = (n_edges, _checksum(edges)[1])
     for _ in range(config.cc_max_iterations):
         # lazy checkpoint: the checksum action below materializes it, so each
